@@ -1,0 +1,123 @@
+"""Synthetic KGQA sample generator for tests and benchmarks.
+
+Produces per-question subgraph samples with the same semantics the reference
+build pipeline materializes into LMDB (``scripts/build_retrieval_pipeline.py:
+2141-2234``): a local node set with text-embedding ids, a directed edge list
+with relation ids, topic (seed) one-hot, answer locals, and undirected-BFS
+shortest-path supervision (positive_triple_mask + pair CSR) computed with the
+same rule as the reference (``_shortest_path_union_mask_by_pair``,
+``build_retrieval_pipeline.py:691-752``).
+
+The generator plants a ground-truth path from a seed to an answer and
+surrounds it with distractor edges, so learned retrievers have signal.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from evi_rag_tpu.data.bfs_label import shortest_path_union_by_pair
+
+
+@dataclasses.dataclass
+class SyntheticSample:
+    sample_id: str
+    num_nodes: int
+    edge_index: np.ndarray        # [2, E] local
+    edge_relations: np.ndarray    # [E] relation vocab ids
+    node_embedding_ids: np.ndarray  # [N] entity vocab ids (0 == non-text)
+    topic_locals: np.ndarray      # [S] seed node locals
+    answer_locals: np.ndarray     # [A]
+    edge_labels: np.ndarray       # [E] bool: on some seed->answer shortest path
+    pair_start_local: np.ndarray  # [P]
+    pair_answer_local: np.ndarray  # [P]
+    pair_shortest_len: np.ndarray  # [P]
+    question_id: int
+
+
+@dataclasses.dataclass
+class SyntheticDataset:
+    samples: list[SyntheticSample]
+    entity_emb: np.ndarray    # [num_entities, D]
+    relation_emb: np.ndarray  # [num_relations, D]
+    question_emb: np.ndarray  # [num_questions, D]
+    emb_dim: int
+
+
+def make_synthetic_dataset(
+    *,
+    num_samples: int = 32,
+    emb_dim: int = 64,
+    num_entities: int = 512,
+    num_relations: int = 32,
+    min_nodes: int = 8,
+    max_nodes: int = 40,
+    path_len_range: tuple[int, int] = (1, 3),
+    avg_extra_edges: float = 2.0,
+    nontext_fraction: float = 0.1,
+    seed: int = 0,
+) -> SyntheticDataset:
+    rng = np.random.default_rng(seed)
+    entity_emb = rng.normal(size=(num_entities, emb_dim)).astype(np.float32)
+    entity_emb[0] = 0.0  # row 0 reserved for non-text entities (reference convention)
+    relation_emb = rng.normal(size=(num_relations, emb_dim)).astype(np.float32)
+    question_emb = np.zeros((num_samples, emb_dim), dtype=np.float32)
+
+    samples: list[SyntheticSample] = []
+    for qid in range(num_samples):
+        n = int(rng.integers(min_nodes, max_nodes + 1))
+        plen = int(rng.integers(path_len_range[0], path_len_range[1] + 1))
+        plen = min(plen, n - 1)
+        # Plant the path 0 -> 1 -> ... -> plen.
+        path_edges = [(i, i + 1) for i in range(plen)]
+        # Distractor edges biased away from shortcutting the path.
+        extra = int(rng.poisson(avg_extra_edges * n))
+        src = rng.integers(0, n, size=extra)
+        dst = rng.integers(0, n, size=extra)
+        keep = src != dst
+        edges = path_edges + list(zip(src[keep].tolist(), dst[keep].tolist()))
+        edge_index = np.asarray(edges, dtype=np.int64).T.reshape(2, -1)
+
+        rel = rng.integers(0, num_relations, size=edge_index.shape[1]).astype(np.int64)
+        emb_ids = rng.integers(1, num_entities, size=n).astype(np.int64)
+        nontext = rng.random(n) < nontext_fraction
+        emb_ids[nontext] = 0
+
+        topic = np.asarray([0], dtype=np.int64)
+        answer = np.asarray([plen], dtype=np.int64)
+        mask, ps, pa, _, _, plens = shortest_path_union_by_pair(
+            num_nodes=n,
+            edge_src=edge_index[0],
+            edge_dst=edge_index[1],
+            sources=topic,
+            targets=answer,
+        )
+        # Question embedding correlates with the planted relations, so a
+        # trained scorer has learnable signal.
+        question_emb[qid] = relation_emb[rel[: plen]].mean(axis=0) + 0.1 * rng.normal(size=emb_dim)
+
+        samples.append(
+            SyntheticSample(
+                sample_id=f"syn-{qid}",
+                num_nodes=n,
+                edge_index=edge_index.astype(np.int32),
+                edge_relations=rel,
+                node_embedding_ids=emb_ids,
+                topic_locals=topic,
+                answer_locals=answer,
+                edge_labels=np.asarray(mask, dtype=bool),
+                pair_start_local=np.asarray(ps, dtype=np.int32),
+                pair_answer_local=np.asarray(pa, dtype=np.int32),
+                pair_shortest_len=np.asarray(plens, dtype=np.int32),
+                question_id=qid,
+            )
+        )
+    return SyntheticDataset(
+        samples=samples,
+        entity_emb=entity_emb,
+        relation_emb=relation_emb,
+        question_emb=question_emb,
+        emb_dim=emb_dim,
+    )

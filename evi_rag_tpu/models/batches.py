@@ -1,0 +1,65 @@
+"""Typed device-side batch pytrees consumed by the models.
+
+These are the padded-bucket analogs of the reference's PyG ``Batch`` objects
+(``src/data/g_retrieval_dataset.py:29-37``, ``src/data/g_agent_dataset.py:
+337-356``).  Variable-length per-graph index lists (``q_local_indices``,
+``a_local_indices``, ``start_node_locals`` ...) become node-level boolean
+masks, which is the natural static-shape encoding; pair-CSR supervision
+becomes a padded pair axis with its own mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+
+from evi_rag_tpu.ops.graph import GraphBatch
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RetrieverBatch:
+    """One padded bucket of per-question subgraphs for triple scoring.
+
+    Text embeddings are gathered host-side by the feeder (the reference does
+    the same in DataLoader workers, ``src/data/components/loader.py:60-65``)
+    or on device from a resident table; the model only sees dense arrays.
+    """
+
+    graph: GraphBatch
+    node_emb: jax.Array        # [N, D] entity text embeddings (row 0 semantics resolved)
+    node_is_nontext: jax.Array  # [N] bool -- embedding row 0 => learned non-text embedding
+    edge_emb: jax.Array        # [E, D] relation text embeddings
+    question_emb: jax.Array    # [G, D]
+    topic_one_hot: jax.Array   # [N, num_topics] float
+    edge_labels: jax.Array     # [E] float in {0,1}; positive_triple_mask supervision
+    node_is_q: jax.Array       # [N] bool: question/topic entity
+    node_is_a: jax.Array       # [N] bool: answer entity
+
+    @property
+    def edge_is_near(self) -> jax.Array:
+        """Edges incident to a question or answer node.
+
+        Replaces ``compute_qa_edge_mask`` (reference ``src/utils/
+        graph_utils.py:107-153``); "bridge" edges are the complement.
+        """
+        qa = self.node_is_q | self.node_is_a
+        return qa[self.graph.heads] | qa[self.graph.tails]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PairSupervision:
+    """Padded (start, answer) pair-level shortest-path supervision.
+
+    Mirrors the reference ``pair_*`` CSR fields emitted by the build pipeline
+    (``scripts/build_retrieval_pipeline.py:691-752``) and consumed by the
+    GFlowNet reward's shortest-length matching (``gflownet_rewards.py:158-213``).
+    """
+
+    pair_batch: jax.Array          # [P] int32 graph id (padding -> padding graph)
+    pair_start_local: jax.Array    # [P] int32 graph-local start node
+    pair_answer_local: jax.Array   # [P] int32 graph-local answer node
+    pair_shortest_len: jax.Array   # [P] int32 BFS shortest distance
+    pair_mask: jax.Array           # [P] bool

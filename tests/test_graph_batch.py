@@ -1,0 +1,76 @@
+"""GraphBatch padding invariants: padding graph absorbs all padding, no leakage."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evi_rag_tpu.ops import GraphBatch, segment_sum
+from evi_rag_tpu.ops.graph import pad_graphs, scatter_node_values
+
+
+def _two_graphs():
+    # graph 0: 3 nodes, 2 edges (0->1, 1->2); graph 1: 2 nodes, 1 edge (0->1)
+    e0 = np.array([[0, 1], [1, 2]], dtype=np.int32)
+    e1 = np.array([[0], [1]], dtype=np.int32)
+    return pad_graphs(
+        edge_index=[e0, e1],
+        num_nodes=[3, 2],
+        bucket_graphs=4,
+        bucket_nodes=8,
+        bucket_edges=6,
+    )
+
+
+def test_pack_layout():
+    gb = _two_graphs()
+    np.testing.assert_array_equal(gb.node_ptr, [0, 3, 5, 5, 8])
+    np.testing.assert_array_equal(gb.edge_ptr, [0, 2, 3, 3, 6])
+    np.testing.assert_array_equal(np.asarray(gb.node_batch[:5]), [0, 0, 0, 1, 1])
+    np.testing.assert_array_equal(np.asarray(gb.node_batch[5:]), [3, 3, 3])
+    np.testing.assert_array_equal(np.asarray(gb.edge_index[:, :3]), [[0, 1, 3], [1, 2, 4]])
+    np.testing.assert_array_equal(np.asarray(gb.graph_mask), [True, True, False, False])
+    assert np.asarray(gb.edge_batch[3:] == 3).all()
+
+
+def test_padding_edges_touch_only_padding_nodes():
+    gb = _two_graphs()
+    pad_edges = ~np.asarray(gb.edge_mask)
+    heads = np.asarray(gb.edge_index[0])[pad_edges]
+    tails = np.asarray(gb.edge_index[1])[pad_edges]
+    node_mask = np.asarray(gb.node_mask)
+    assert (~node_mask[heads]).all()
+    assert (~node_mask[tails]).all()
+
+
+def test_segment_reduction_ignores_padding_without_mask():
+    gb = _two_graphs()
+    ones = jnp.ones(gb.num_edges)
+    per_graph = segment_sum(ones, gb.edge_batch, gb.num_graphs)
+    np.testing.assert_array_equal(np.asarray(per_graph), [2.0, 1.0, 0.0, 3.0])
+    # Real rows need no mask; padding lands in the reserved padding row.
+
+
+def test_local_global_roundtrip():
+    gb = _two_graphs()
+    local = jnp.asarray([0, 1, 0], dtype=jnp.int32)
+    gids = jnp.asarray([0, 0, 1], dtype=jnp.int32)
+    glob = gb.local_to_global_nodes(local, gids)
+    np.testing.assert_array_equal(np.asarray(glob), [0, 1, 3])
+    back = gb.global_to_local_nodes(glob)
+    np.testing.assert_array_equal(np.asarray(back), [0, 1, 0])
+
+
+def test_bucket_overflow_raises():
+    e = np.zeros((2, 0), dtype=np.int32)
+    with pytest.raises(ValueError, match="graph slots"):
+        pad_graphs(edge_index=[e] * 4, num_nodes=[1] * 4, bucket_graphs=4, bucket_nodes=8, bucket_edges=8)
+    with pytest.raises(ValueError, match="exceed bucket_nodes"):
+        pad_graphs(edge_index=[e], num_nodes=[9], bucket_graphs=4, bucket_nodes=8, bucket_edges=8)
+
+
+def test_scatter_node_values():
+    out = scatter_node_values([np.ones((3, 2)), np.full((2, 2), 2.0)], bucket_nodes=8)
+    assert out.shape == (8, 2)
+    np.testing.assert_array_equal(out[:3], 1.0)
+    np.testing.assert_array_equal(out[3:5], 2.0)
+    np.testing.assert_array_equal(out[5:], 0.0)
