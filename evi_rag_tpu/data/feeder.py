@@ -1,0 +1,197 @@
+"""Bucketed batch collation: samples -> padded device batches.
+
+Replaces the reference's ``RetrievalCollater``/``UnifiedDataLoader``
+(``src/data/components/loader.py:22-186``): PyG ragged collation + worker-side
+embedding gather become (a) deterministic bucket selection so XLA sees few
+distinct shapes, and (b) numpy embedding gathers from the memory-mapped
+global store before the batch is shipped to device -- the device step is pure
+compute, exactly the property the reference engineered on the CPU side.
+
+Bucket policy: total node/edge counts are rounded up to the next power-of-two
+(times a base granularity), and one graph slot is reserved for the padding
+graph.  A steady-state training run touches only a handful of buckets =>
+a handful of compiled programs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from evi_rag_tpu.data.synthetic import SyntheticSample
+from evi_rag_tpu.models.batches import PairSupervision, RetrieverBatch
+from evi_rag_tpu.ops.graph import pad_graphs
+
+
+def round_up_pow2(x: int, base: int = 128) -> int:
+    """Round up to base * 2^k (>= base)."""
+    if x <= base:
+        return base
+    k = int(np.ceil(np.log2(x / base)))
+    return base * (1 << k)
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    graphs: int
+    nodes: int
+    edges: int
+    pairs: int = 0
+
+    @staticmethod
+    def for_batch(
+        num_graphs: int,
+        total_nodes: int,
+        total_edges: int,
+        total_pairs: int = 0,
+        *,
+        node_base: int = 128,
+        edge_base: int = 512,
+        pair_base: int = 64,
+    ) -> "Bucket":
+        return Bucket(
+            graphs=num_graphs + 1,  # +1 reserved padding graph slot
+            nodes=round_up_pow2(total_nodes + 1, node_base),
+            edges=round_up_pow2(total_edges + 1, edge_base),
+            pairs=round_up_pow2(max(total_pairs, 1), pair_base),
+        )
+
+
+def collate_retriever(
+    samples: Sequence[SyntheticSample],
+    *,
+    entity_emb: np.ndarray,
+    relation_emb: np.ndarray,
+    question_emb: np.ndarray,
+    bucket: Bucket,
+    with_pairs: bool = False,
+) -> RetrieverBatch | tuple[RetrieverBatch, PairSupervision]:
+    """Gather embeddings + pack one padded RetrieverBatch (host-side numpy)."""
+    G, N, E = bucket.graphs, bucket.nodes, bucket.edges
+    pad_graph = G - 1
+
+    gb = pad_graphs(
+        edge_index=[s.edge_index for s in samples],
+        num_nodes=[s.num_nodes for s in samples],
+        bucket_graphs=G,
+        bucket_nodes=N,
+        bucket_edges=E,
+    )
+
+    node_emb = np.zeros((N, entity_emb.shape[1]), dtype=np.float32)
+    node_is_nontext = np.zeros(N, dtype=bool)
+    topic_one_hot = np.zeros((N, 2), dtype=np.float32)
+    node_is_q = np.zeros(N, dtype=bool)
+    node_is_a = np.zeros(N, dtype=bool)
+    edge_emb = np.zeros((E, relation_emb.shape[1]), dtype=np.float32)
+    edge_labels = np.zeros(E, dtype=np.float32)
+    q_emb = np.zeros((G, question_emb.shape[1]), dtype=np.float32)
+
+    n_off = 0
+    e_off = 0
+    for g, s in enumerate(samples):
+        nn, ne = s.num_nodes, s.edge_index.shape[1]
+        ids = s.node_embedding_ids
+        node_emb[n_off : n_off + nn] = entity_emb[ids]
+        node_is_nontext[n_off : n_off + nn] = ids == 0
+        topic_one_hot[n_off + s.topic_locals, 0] = 1.0
+        non_topic = np.setdiff1d(np.arange(nn), s.topic_locals)
+        topic_one_hot[n_off + non_topic, 1] = 1.0
+        node_is_q[n_off + s.topic_locals] = True
+        node_is_a[n_off + s.answer_locals] = True
+        edge_emb[e_off : e_off + ne] = relation_emb[s.edge_relations]
+        edge_labels[e_off : e_off + ne] = s.edge_labels.astype(np.float32)
+        q_emb[g] = question_emb[s.question_id]
+        n_off += nn
+        e_off += ne
+
+    batch = RetrieverBatch(
+        graph=gb,
+        node_emb=jnp.asarray(node_emb),
+        node_is_nontext=jnp.asarray(node_is_nontext),
+        edge_emb=jnp.asarray(edge_emb),
+        question_emb=jnp.asarray(q_emb),
+        topic_one_hot=jnp.asarray(topic_one_hot),
+        edge_labels=jnp.asarray(edge_labels),
+        node_is_q=jnp.asarray(node_is_q),
+        node_is_a=jnp.asarray(node_is_a),
+    )
+    if not with_pairs:
+        return batch
+
+    P = bucket.pairs
+    pair_batch = np.full(P, pad_graph, dtype=np.int32)
+    pair_start = np.zeros(P, dtype=np.int32)
+    pair_answer = np.zeros(P, dtype=np.int32)
+    pair_len = np.zeros(P, dtype=np.int32)
+    pair_mask = np.zeros(P, dtype=bool)
+    p_off = 0
+    for g, s in enumerate(samples):
+        np_pairs = s.pair_start_local.shape[0]
+        if p_off + np_pairs > P:
+            raise ValueError(f"pair bucket overflow: {p_off + np_pairs} > {P}")
+        sl = slice(p_off, p_off + np_pairs)
+        pair_batch[sl] = g
+        pair_start[sl] = s.pair_start_local
+        pair_answer[sl] = s.pair_answer_local
+        pair_len[sl] = s.pair_shortest_len
+        pair_mask[sl] = True
+        p_off += np_pairs
+    pairs = PairSupervision(
+        pair_batch=jnp.asarray(pair_batch),
+        pair_start_local=jnp.asarray(pair_start),
+        pair_answer_local=jnp.asarray(pair_answer),
+        pair_shortest_len=jnp.asarray(pair_len),
+        pair_mask=jnp.asarray(pair_mask),
+    )
+    return batch, pairs
+
+
+def iter_retriever_batches(
+    samples: Sequence[SyntheticSample],
+    *,
+    entity_emb: np.ndarray,
+    relation_emb: np.ndarray,
+    question_emb: np.ndarray,
+    batch_size: int,
+    bucket: Bucket | None = None,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+) -> Iterator[RetrieverBatch]:
+    """Yield padded batches; a fixed global bucket keeps one compiled shape."""
+    order = np.arange(len(samples))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    if bucket is None:
+        bucket = fixed_bucket_for(samples, batch_size)
+    for i in range(0, len(order), batch_size):
+        idx = order[i : i + batch_size]
+        if drop_last and idx.size < batch_size:
+            break
+        chunk = [samples[j] for j in idx]
+        yield collate_retriever(
+            chunk,
+            entity_emb=entity_emb,
+            relation_emb=relation_emb,
+            question_emb=question_emb,
+            bucket=bucket,
+        )
+
+
+def fixed_bucket_for(samples: Sequence[SyntheticSample], batch_size: int) -> Bucket:
+    """One bucket covering the worst-case batch => exactly one compile."""
+    worst_nodes = 0
+    worst_edges = 0
+    worst_pairs = 0
+    ns = [s.num_nodes for s in samples]
+    es = [s.edge_index.shape[1] for s in samples]
+    ps = [s.pair_start_local.shape[0] for s in samples]
+    for i in range(0, len(samples), batch_size):
+        worst_nodes = max(worst_nodes, sum(ns[i : i + batch_size]))
+        worst_edges = max(worst_edges, sum(es[i : i + batch_size]))
+        worst_pairs = max(worst_pairs, sum(ps[i : i + batch_size]))
+    return Bucket.for_batch(batch_size, worst_nodes, worst_edges, worst_pairs)
