@@ -18,11 +18,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterator, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from evi_rag_tpu.data.g_agent import AgentSample
 from evi_rag_tpu.data.synthetic import SyntheticSample
-from evi_rag_tpu.models.batches import PairSupervision, RetrieverBatch
+from evi_rag_tpu.models.batches import AgentBatch, PairSupervision, RetrieverBatch
 from evi_rag_tpu.ops.graph import pad_graphs
 
 
@@ -175,6 +177,167 @@ def iter_retriever_batches(
         chunk = [samples[j] for j in idx]
         yield collate_retriever(
             chunk,
+            entity_emb=entity_emb,
+            relation_emb=relation_emb,
+            question_emb=question_emb,
+            bucket=bucket,
+        )
+
+
+def collate_agent(
+    samples: Sequence[AgentSample],
+    *,
+    entity_emb: np.ndarray,
+    relation_emb: np.ndarray,
+    question_emb: np.ndarray,
+    bucket: Bucket,
+) -> AgentBatch:
+    """Pack agent samples into one padded AgentBatch (GFlowNet env input)."""
+    G, N, E, P = bucket.graphs, bucket.nodes, bucket.edges, bucket.pairs
+    pad_graph = G - 1
+
+    gb = pad_graphs(
+        edge_index=[
+            np.stack([s.edge_head_locals, s.edge_tail_locals]).astype(np.int32) for s in samples
+        ],
+        num_nodes=[s.num_nodes for s in samples],
+        bucket_graphs=G,
+        bucket_nodes=N,
+        bucket_edges=E,
+    )
+
+    d = entity_emb.shape[1]
+    node_emb = np.zeros((N, d), dtype=np.float32)
+    node_is_nontext = np.zeros(N, dtype=bool)
+    node_is_start = np.zeros(N, dtype=bool)
+    node_is_answer = np.zeros(N, dtype=bool)
+    edge_emb = np.zeros((E, relation_emb.shape[1]), dtype=np.float32)
+    edge_scores = np.zeros(E, dtype=np.float32)
+    edge_relations = np.zeros(E, dtype=np.int32)
+    edge_labels = np.zeros(E, dtype=np.float32)
+    q_emb = np.zeros((G, question_emb.shape[1]), dtype=np.float32)
+    is_dummy = np.zeros(G, dtype=bool)
+
+    pair_batch = np.full(P, pad_graph, dtype=np.int32)
+    pair_start = np.zeros(P, dtype=np.int32)
+    pair_answer = np.zeros(P, dtype=np.int32)
+    pair_len = np.zeros(P, dtype=np.int32)
+    pair_mask = np.zeros(P, dtype=bool)
+
+    n_off = e_off = p_off = 0
+    for g, s in enumerate(samples):
+        nn, ne = s.num_nodes, s.num_edges
+        ids = s.node_embedding_ids
+        node_emb[n_off : n_off + nn] = entity_emb[ids]
+        node_is_nontext[n_off : n_off + nn] = ids == 0
+        node_is_start[n_off + s.start_node_locals] = True
+        node_is_answer[n_off + s.answer_node_locals] = True
+        edge_emb[e_off : e_off + ne] = relation_emb[s.edge_relations]
+        edge_scores[e_off : e_off + ne] = s.edge_scores
+        edge_relations[e_off : e_off + ne] = s.edge_relations
+        edge_labels[e_off : e_off + ne] = s.edge_labels
+        q_emb[g] = question_emb[s.question_id]
+        is_dummy[g] = s.is_dummy_agent
+        npair = s.pair_start_local.shape[0]
+        if p_off + npair > P:
+            raise ValueError(f"pair bucket overflow: {p_off + npair} > {P}")
+        sl = slice(p_off, p_off + npair)
+        pair_batch[sl] = g
+        pair_start[sl] = s.pair_start_local
+        pair_answer[sl] = s.pair_answer_local
+        pair_len[sl] = s.pair_shortest_len
+        pair_mask[sl] = True
+        n_off += nn
+        e_off += ne
+        p_off += npair
+
+    return AgentBatch(
+        graph=gb,
+        edge_scores=jnp.asarray(edge_scores),
+        edge_relations=jnp.asarray(edge_relations),
+        node_emb=jnp.asarray(node_emb),
+        node_is_nontext=jnp.asarray(node_is_nontext),
+        edge_emb=jnp.asarray(edge_emb),
+        question_emb=jnp.asarray(q_emb),
+        node_is_start=jnp.asarray(node_is_start),
+        node_is_answer=jnp.asarray(node_is_answer),
+        is_dummy=jnp.asarray(is_dummy),
+        edge_labels=jnp.asarray(edge_labels),
+        pairs=PairSupervision(
+            pair_batch=jnp.asarray(pair_batch),
+            pair_start_local=jnp.asarray(pair_start),
+            pair_answer_local=jnp.asarray(pair_answer),
+            pair_shortest_len=jnp.asarray(pair_len),
+            pair_mask=jnp.asarray(pair_mask),
+        ),
+    )
+
+
+def fixed_agent_bucket(samples: Sequence[AgentSample], batch_size: int) -> Bucket:
+    ns = [s.num_nodes for s in samples]
+    es = [s.num_edges for s in samples]
+    ps = [s.pair_start_local.shape[0] for s in samples]
+    worst_n = worst_e = worst_p = 0
+    for i in range(0, len(samples), batch_size):
+        worst_n = max(worst_n, sum(ns[i : i + batch_size]))
+        worst_e = max(worst_e, sum(es[i : i + batch_size]))
+        worst_p = max(worst_p, sum(ps[i : i + batch_size]))
+    return Bucket.for_batch(batch_size, worst_n, worst_e, worst_p)
+
+
+def collate_stacked(
+    samples: Sequence[SyntheticSample],
+    *,
+    num_shards: int,
+    entity_emb: np.ndarray,
+    relation_emb: np.ndarray,
+    question_emb: np.ndarray,
+    bucket: Bucket,
+) -> RetrieverBatch:
+    """Stacked data-parallel collation: ``[D, ...]`` leading axis, one padded
+    self-contained sub-batch per mesh shard (edge indices stay shard-local,
+    so no cross-device gathers are induced)."""
+    if len(samples) % num_shards != 0:
+        raise ValueError(f"{len(samples)} samples not divisible by {num_shards} shards")
+    per = len(samples) // num_shards
+    shards = [
+        collate_retriever(
+            samples[i * per : (i + 1) * per],
+            entity_emb=entity_emb,
+            relation_emb=relation_emb,
+            question_emb=question_emb,
+            bucket=bucket,
+        )
+        for i in range(num_shards)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *shards)
+
+
+def iter_stacked_batches(
+    samples: Sequence[SyntheticSample],
+    *,
+    num_shards: int,
+    per_shard_batch: int,
+    entity_emb: np.ndarray,
+    relation_emb: np.ndarray,
+    question_emb: np.ndarray,
+    bucket: Bucket | None = None,
+    shuffle: bool = True,
+    seed: int = 0,
+) -> Iterator[RetrieverBatch]:
+    """Yield stacked DP batches of ``num_shards * per_shard_batch`` samples."""
+    chunk = num_shards * per_shard_batch
+    if bucket is None:
+        bucket = fixed_bucket_for(samples, per_shard_batch)
+    order = np.arange(len(samples))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    usable = (len(order) // chunk) * chunk
+    for i in range(0, usable, chunk):
+        idx = order[i : i + chunk]
+        yield collate_stacked(
+            [samples[j] for j in idx],
+            num_shards=num_shards,
             entity_emb=entity_emb,
             relation_emb=relation_emb,
             question_emb=question_emb,

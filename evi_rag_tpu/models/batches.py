@@ -50,6 +50,33 @@ class RetrieverBatch:
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
+class AgentBatch:
+    """Padded GFlowNet environment batch (the reference ``g_agent`` sample,
+    ``src/data/g_agent_dataset.py:19-52``).
+
+    The directed edge list is the retriever-selected evidence graph; edges
+    carry retriever scores and relation text embeddings.  Start/answer local
+    index lists become node masks; ``is_dummy`` marks dummy-agent graphs
+    (questions whose answer is absent from the subgraph,
+    ``g_agent_builder.py:434-470``).
+    """
+
+    graph: GraphBatch
+    edge_scores: jax.Array     # [E] f32 retriever scores (logits)
+    edge_relations: jax.Array  # [E] int32 relation vocab ids
+    node_emb: jax.Array        # [N, D] entity text embeddings
+    node_is_nontext: jax.Array  # [N] bool
+    edge_emb: jax.Array        # [E, D] relation text embeddings
+    question_emb: jax.Array    # [G, D]
+    node_is_start: jax.Array   # [N] bool
+    node_is_answer: jax.Array  # [N] bool
+    is_dummy: jax.Array        # [G] bool
+    edge_labels: jax.Array     # [E] f32 DAG (shortest-path) edge labels for BC
+    pairs: "PairSupervision"
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
 class PairSupervision:
     """Padded (start, answer) pair-level shortest-path supervision.
 

@@ -1,0 +1,223 @@
+"""Vectorized multi-graph rollout as a fixed-length ``lax.scan``.
+
+Re-design of the reference ``GFlowNetActor.rollout`` (``src/models/
+components/gflownet_actor.py:74-373``), the hot loop of GFlowNet training.
+The reference runs a Python loop with data-dependent early exit
+(``:303-304``) and host-side validation per step; under XLA that becomes a
+fixed ``max_steps+1``-length scan with done-masking -- finished graphs take
+STOP actions contributing log-prob 0, matching semantics exactly.
+
+Per step: encode state -> policy -> joint edge+STOP segment softmax
+(``_log_probs_edges``, ``:375-418``) -> Gumbel-max categorical sampling via
+``segment_argmax`` (replacing torch_scatter ``scatter_max``, ``:262-281``)
+or greedy / forced replay -> pure env step.  Behaviour-cloning statistics
+(per-step -logsumexp of DAG-edge log-probs, ``:426-446``) are accumulated
+in-scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from evi_rag_tpu.models.batches import AgentBatch
+from evi_rag_tpu.models.gflownet.embedder import EmbedOutputs
+from evi_rag_tpu.models.gflownet.env import (
+    STOP_ACTION,
+    EnvState,
+    candidate_edge_masks,
+    env_reset,
+    env_step,
+)
+from evi_rag_tpu.models.gflownet.policy import GFlowNetEdgePolicy
+from evi_rag_tpu.models.gflownet.state_encoder import StateEncoder
+from evi_rag_tpu.ops.segment import NEG_INF, segment_argmax, segment_logsumexp, segment_sum
+
+MIN_TEMPERATURE = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class ActorConfig:
+    max_steps: int
+    policy_temperature: float = 1.0
+    stop_on_answer: bool = False
+
+    @property
+    def num_steps(self) -> int:
+        return self.max_steps + 1
+
+
+def log_probs_edges(
+    edge_logits: jax.Array,   # [E]
+    stop_logits: jax.Array,   # [G]
+    edge_batch: jax.Array,
+    valid_edges: jax.Array,
+    num_graphs: int,
+    temperature: float,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(log_prob_edge [E], log_prob_stop [G], has_edge [G]) of the joint
+    edges+STOP categorical (reference ``gflownet_actor.py:375-418``)."""
+    t = max(float(temperature), MIN_TEMPERATURE)
+    e_scaled = edge_logits.astype(jnp.float32) / t
+    s_scaled = stop_logits.astype(jnp.float32) / t
+    lse_edges = segment_logsumexp(e_scaled, edge_batch, num_graphs, mask=valid_edges)
+    log_denom = jnp.logaddexp(lse_edges, s_scaled)
+    lp_edge = jnp.where(valid_edges, e_scaled - log_denom[edge_batch], NEG_INF)
+    lp_stop = s_scaled - log_denom
+    has_edge = lse_edges > NEG_INF
+    return lp_edge, lp_stop, has_edge
+
+
+def rollout(
+    *,
+    policy: GFlowNetEdgePolicy,
+    state_encoder: StateEncoder,
+    policy_params: Any,
+    encoder_params: Any,
+    batch: AgentBatch,
+    embed: EmbedOutputs,
+    rng: jax.Array,
+    config: ActorConfig,
+    greedy: bool = False,
+    forced_actions: jax.Array | None = None,  # [G, T] edge ids / STOP
+    dag_edge_mask: jax.Array | None = None,   # [E] bool, enables BC stats
+    train: bool = False,
+) -> dict[str, jax.Array]:
+    gb = batch.graph
+    g = gb.num_graphs
+    h = embed.edge_tokens.shape[-1]
+    T = config.num_steps
+    temp = config.policy_temperature
+    is_greedy = greedy or temp < MIN_TEMPERATURE
+
+    edge_tokens = embed.edge_tokens.astype(jnp.float32)
+    cache = state_encoder.apply(
+        encoder_params,
+        batch,
+        node_tokens=embed.node_tokens.astype(jnp.float32),
+        question_tokens=embed.question_tokens.astype(jnp.float32),
+        method=StateEncoder.precompute,
+    )
+    edge_base = policy.apply(
+        policy_params, edge_tokens, method=GFlowNetEdgePolicy.compute_edge_base
+    )
+
+    state0 = env_reset(
+        batch, max_steps=config.max_steps, hidden_dim=h, stop_on_answer=config.stop_on_answer
+    )
+    want_bc = dag_edge_mask is not None
+    dag_mask = dag_edge_mask if want_bc else jnp.zeros(gb.num_edges, dtype=bool)
+
+    step_keys = jax.random.split(rng, T)
+    forced = (
+        forced_actions.astype(jnp.int32).T
+        if forced_actions is not None
+        else jnp.full((T, g), STOP_ACTION, dtype=jnp.int32)
+    )
+
+    def step_fn(carry, xs):
+        state: EnvState = carry
+        step_idx, key, forced_t = xs
+
+        state_tokens = state_encoder.apply(
+            encoder_params, cache, state, batch, method=StateEncoder.encode_state
+        )
+        fwd, bwd = candidate_edge_masks(state, batch, max_steps=config.max_steps)
+        unused = ~state.used_edge_mask
+        valid = (fwd | bwd) & unused
+
+        edge_logits, stop_logits, state_out = policy.apply(
+            policy_params, edge_tokens, state_tokens, gb.edge_batch, valid,
+            edge_base=edge_base, train=train,
+        )
+        lp_edge, lp_stop, has_edge = log_probs_edges(
+            edge_logits, stop_logits, gb.edge_batch, valid, g, temp
+        )
+
+        if forced_actions is not None:
+            actions = forced_t
+            forced_stop = actions == STOP_ACTION
+            safe = jnp.where(forced_stop, 0, actions)
+            log_pf = jnp.where(forced_stop, lp_stop, lp_edge[safe])
+        else:
+            if is_greedy:
+                score_edge, score_stop = lp_edge, lp_stop
+            else:
+                ge = -jnp.log(-jnp.log(
+                    jax.random.uniform(key, lp_edge.shape, minval=1e-10, maxval=1.0 - 1e-10)
+                ))
+                gs = -jnp.log(-jnp.log(
+                    jax.random.uniform(
+                        jax.random.fold_in(key, 1), lp_stop.shape, minval=1e-10, maxval=1.0 - 1e-10
+                    )
+                ))
+                score_edge, score_stop = lp_edge + ge, lp_stop + gs
+            score_edge = jnp.where(valid, score_edge, NEG_INF)
+            max_v, argmax_e = segment_argmax(score_edge, gb.edge_batch, g, mask=valid)
+            choose_edge = has_edge & (max_v > score_stop)
+            actions = jnp.where(choose_edge, argmax_e.astype(jnp.int32), STOP_ACTION)
+            log_pf = jnp.where(choose_edge, lp_edge[argmax_e], lp_stop)
+
+        # Done graphs: STOP with zero log-prob contribution.
+        actions = jnp.where(state.done, STOP_ACTION, actions)
+        log_pf = jnp.where(state.done, 0.0, log_pf)
+
+        if want_bc:
+            bc_mask = valid & dag_mask
+            bc_lse = segment_logsumexp(lp_edge, gb.edge_batch, g, mask=bc_mask)
+            bc_count = segment_sum(bc_mask.astype(jnp.float32), gb.edge_batch, g)
+            bc_valid = bc_count > 0
+            bc_step_loss = jnp.where(bc_valid, -bc_lse, 0.0)
+            bc_step_count = bc_valid.astype(jnp.float32)
+        else:
+            bc_step_loss = jnp.zeros(g)
+            bc_step_count = jnp.zeros(g)
+
+        sel = jnp.where(actions == STOP_ACTION, 0, actions)
+        sel_emb = jnp.where(
+            (actions != STOP_ACTION)[:, None], edge_tokens[sel], jnp.zeros((g, h))
+        )
+        new_state = env_step(
+            state, batch, actions, sel_emb,
+            step_index=step_idx, max_steps=config.max_steps,
+            stop_on_answer=config.stop_on_answer,
+        )
+        outs = (log_pf, state_out.astype(jnp.float32), actions, bc_step_loss, bc_step_count)
+        return new_state, outs
+
+    xs = (jnp.arange(T, dtype=jnp.int32), step_keys, forced)
+    final_state, (log_pf_steps, state_emb_seq, actions_seq, bc_losses, bc_counts) = jax.lax.scan(
+        step_fn, state0, xs
+    )
+
+    # scan stacks on axis 0 = time; transpose to [G, T].
+    log_pf_steps = log_pf_steps.T
+    actions_seq = actions_seq.T
+    state_emb_seq = jnp.transpose(state_emb_seq, (1, 0, 2))
+
+    result = {
+        "log_pf": jnp.sum(log_pf_steps, axis=1),
+        "log_pf_steps": log_pf_steps,
+        "state_emb_seq": state_emb_seq,
+        "actions_seq": actions_seq,
+        "directions_seq": final_state.directions,
+        "selected_mask": final_state.used_edge_mask,
+        "selection_order": final_state.selection_order,
+        "reach_success": final_state.answer_hits.astype(jnp.float32),
+        "length": final_state.step_counts.astype(jnp.float32),
+        "answer_node_hit": final_state.answer_node_hit,
+        "start_node_hit": final_state.start_node_hit,
+        "active_nodes": final_state.active_nodes,
+        "answer_hits": final_state.answer_hits,
+    }
+    if want_bc:
+        bc_loss_sum = jnp.sum(bc_losses, axis=0)
+        bc_step_counts = jnp.sum(bc_counts, axis=0)
+        dag_counts = segment_sum(dag_mask.astype(jnp.float32), gb.edge_batch, g)
+        result["bc_loss_per_graph"] = bc_loss_sum / jnp.maximum(bc_step_counts, 1.0)
+        result["bc_steps_per_graph"] = bc_step_counts
+        result["bc_has_dag"] = (dag_counts > 0).astype(jnp.float32)
+    return result

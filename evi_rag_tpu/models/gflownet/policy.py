@@ -1,0 +1,90 @@
+"""Edge policy with candidate-masked single-head attention pooling.
+
+Re-design of the reference ``GFlowNetEdgePolicy`` (``src/models/components/
+gflownet_policy.py:49-152``).  NOTE: that file has a SyntaxError at reference
+HEAD (``forward(..., edge_base=None, *, **_)`` at :99-101); the *intended*
+behaviour -- optional precomputed ``edge_base`` -- is the spec here.
+
+Per step: state attends over its graph's candidate edges (dot-product, one
+head, scaled), the pooled context refines the state, the edge head scores
+[state ‖ edge] pairs, the stop head scores the refined state.  In the padded
+layout the reference's candidate gather/scatter (``cand_idx`` indexing)
+disappears: everything computes densely over the padded edge axis and invalid
+edges are -inf-masked -- on TPU the dense path vectorizes better than the
+gather path, and candidate sets are a large fraction of edges anyway.
+
+Last linears are zero-initialized so the policy starts near-uniform
+(``gflownet_policy.py:10-21``).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from evi_rag_tpu.ops.segment import NEG_INF, segment_softmax, segment_sum
+
+
+class GFlowNetEdgePolicy(nn.Module):
+    hidden_dim: int
+    dropout: float = 0.1
+
+    def setup(self) -> None:
+        h = self.hidden_dim
+        self.state_norm = nn.LayerNorm(name="state_norm")
+        self.edge_base_norm = nn.LayerNorm(name="edge_base_norm")
+        self.edge_base_dense = nn.Dense(h, name="edge_base_dense")
+        self.edge_dropout = nn.Dropout(self.dropout)
+        self.attn_q = nn.Dense(h, use_bias=False, name="attn_q")
+        self.attn_k = nn.Dense(h, use_bias=False, name="attn_k")
+        self.attn_v = nn.Dense(h, use_bias=False, name="attn_v")
+        self.edge_head_norm = nn.LayerNorm(name="edge_head_norm")
+        self.edge_head_0 = nn.Dense(h, name="edge_head_0")
+        self.edge_head_drop = nn.Dropout(self.dropout)
+        self.edge_head_1 = nn.Dense(1, name="edge_head_1", kernel_init=nn.initializers.zeros)
+        self.stop_head_norm = nn.LayerNorm(name="stop_head_norm")
+        self.stop_head_0 = nn.Dense(h, name="stop_head_0")
+        self.stop_head_1 = nn.Dense(1, name="stop_head_1", kernel_init=nn.initializers.zeros)
+
+    def compute_edge_base(self, edge_tokens: jax.Array) -> jax.Array:
+        """Step-invariant edge projection, hoisted out of the rollout loop
+        (the reference precomputes it once per rollout, ``gflownet_policy.py:
+        88-91`` + ``gflownet_actor.py:110-112``)."""
+        return nn.gelu(self.edge_base_dense(self.edge_base_norm(edge_tokens)))
+
+    def __call__(
+        self,
+        edge_tokens: jax.Array,       # [E, H]
+        state_tokens: jax.Array,      # [G, H]
+        edge_batch: jax.Array,        # [E]
+        valid_edges_mask: jax.Array,  # [E] bool
+        *,
+        edge_base: jax.Array | None = None,
+        train: bool = False,
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        num_graphs = state_tokens.shape[0]
+        if edge_base is None:
+            edge_base = self.compute_edge_base(edge_tokens)
+        edge_repr = self.edge_dropout(edge_base, deterministic=not train)
+
+        state_base = self.state_norm(state_tokens)
+        q = self.attn_q(state_base)[edge_batch]          # [E, H]
+        k = self.attn_k(edge_repr)
+        v = self.attn_v(edge_repr)
+        att_logits = jnp.sum(q * k, axis=-1) / max(math.sqrt(self.hidden_dim), 1.0)
+        att_w = segment_softmax(att_logits, edge_batch, num_graphs, mask=valid_edges_mask)
+        context = segment_sum(att_w[:, None] * v, edge_batch, num_graphs, mask=valid_edges_mask)
+        state_out = self.state_norm(state_tokens + context)
+
+        edge_in = jnp.concatenate([state_out[edge_batch], edge_repr], axis=-1)
+        h = nn.gelu(self.edge_head_0(self.edge_head_norm(edge_in)))
+        h = self.edge_head_drop(h, deterministic=not train)
+        edge_logits = self.edge_head_1(h)[..., 0]
+        edge_logits = jnp.where(valid_edges_mask, edge_logits, NEG_INF)
+
+        s = nn.gelu(self.stop_head_0(self.stop_head_norm(state_out)))
+        stop_logits = self.stop_head_1(s)[..., 0]
+        return edge_logits, stop_logits, state_out

@@ -133,12 +133,14 @@ def segment_logsumexp(
     if data.ndim != 1:
         raise ValueError(f"segment_logsumexp expects 1D data, got shape {data.shape}")
     seg_max = segment_max(data, segment_ids, num_segments, mask=mask)
+    # Mask BEFORE exp: a masked lane in a segment whose max is the NEG_INF
+    # fill would otherwise compute exp(huge)=inf, and the downstream
+    # where(mask, ., 0) would then produce 0*inf=NaN *gradients*.  With the
+    # lane forced to -inf first, exp and its derivative are exactly 0.
     shifted = data - seg_max[segment_ids]
-    expv = jnp.exp(shifted)
     if mask is not None:
-        expv = jnp.where(mask, expv, 0.0)
-    # Guard NaN from (-inf) - (-inf) on empty segments / masked lanes.
-    expv = jnp.where(jnp.isnan(expv), 0.0, expv)
+        shifted = jnp.where(mask, shifted, -jnp.inf)
+    expv = jnp.exp(shifted)
     seg_sum = jax.ops.segment_sum(expv, segment_ids, num_segments=num_segments)
     out = seg_max + jnp.log(jnp.maximum(seg_sum, jnp.finfo(data.dtype).tiny))
     return jnp.where(seg_sum > 0, out, jnp.full_like(out, NEG_INF))
@@ -159,10 +161,10 @@ def segment_softmax(
         raise ValueError(f"segment_softmax expects 1D data, got shape {data.shape}")
     seg_max = segment_max(data, segment_ids, num_segments, mask=mask)
     shifted = data - seg_max[segment_ids]
-    expv = jnp.exp(shifted)
     if mask is not None:
-        expv = jnp.where(mask, expv, 0.0)
-    expv = jnp.where(jnp.isnan(expv), 0.0, expv)
+        # Mask before exp (see segment_logsumexp): keeps gradients NaN-free.
+        shifted = jnp.where(mask, shifted, -jnp.inf)
+    expv = jnp.exp(shifted)
     denom = jax.ops.segment_sum(expv, segment_ids, num_segments=num_segments)
     denom = jnp.maximum(denom, jnp.finfo(data.dtype).tiny)
     return expv / denom[segment_ids]

@@ -1,0 +1,11 @@
+"""Device-mesh parallelism: sharding specs, collectives, multi-host glue."""
+
+from evi_rag_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["DATA_AXIS", "batch_sharding", "make_mesh", "replicated", "shard_batch"]

@@ -1,0 +1,69 @@
+"""Mesh construction and sharding policy.
+
+Replaces the reference's NCCL/Lightning-DDP distribution layer
+(``configs/trainer/ddp.yaml``, ``src/data/g_retrieval_datamodule.py:30-39``)
+with the JAX SPMD recipe: one ``jax.sharding.Mesh``, NamedShardings on the
+batch, and XLA-inserted collectives over ICI.
+
+The framework's first-class strategy -- matching the reference's capability
+set (SURVEY §2c) -- is **data parallelism over the graph axis**: every leading
+axis of a padded batch (graphs, nodes, edges, pairs) shards over the ``data``
+axis; parameters are replicated; gradients are reduced by XLA's automatic
+``psum`` when ``jax.grad`` runs under sharding constraints.  The candidate-
+edge axis of the serving query path additionally shards over the same axis
+for million-triple fan-out (``evi_rag_tpu/ops/query.py``).
+
+Eval on one device maps to a trivial 1-device mesh -- the analog of the
+reference's enforced single-GPU eval (``src/eval.py:32-77``) without needing
+a separate code path.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: int | None = None, *, devices: Any = None) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    if devices is None:
+        devices = jax.devices()
+    if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(f"requested {num_devices} devices, have {len(devices)}")
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading axis of every batch array over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a batch pytree with leading-axis sharding over the data mesh.
+
+    ``edge_index`` rows index the *global* node axis, which is itself sharded,
+    so gathers become XLA all-gather-free local ops only when a graph's nodes
+    and edges land on the same shard -- the feeder guarantees this by packing
+    whole graphs and padding each shard independently (see
+    ``data/feeder.py::collate_sharded``).
+    """
+    sh = batch_sharding(mesh)
+
+    def place(x):
+        x = jax.numpy.asarray(x)
+        if x.ndim == 0:
+            return jax.device_put(x, replicated(mesh))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(place, batch)

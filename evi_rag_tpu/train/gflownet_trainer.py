@@ -1,0 +1,354 @@
+"""GFlowNet training/eval loop (the reference ``GFlowNetModule``,
+``src/models/gflownet_module.py:30-1044``, as jitted pure steps).
+
+One training step (mirrors ``_compute_batch_loss``, ``:388-635``):
+frozen-retriever embed -> N sampled rollouts (vmapped over rollout keys, not
+Python-looped) -> terminal reward -> estimator flow states with terminal
+logR -> closed-form SubTB + scheduled DAG behaviour-cloning.  Dummy graphs
+(answer absent) are masked out of the loss exactly as the reference does
+(log_reward zeroed for the loss, graphs excluded from the mean, ``:520-550``).
+
+Eval: best-of-k rollouts -> ``answer_hit@{k}`` prefix metrics (``:623-634``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evi_rag_tpu.models.batches import AgentBatch
+from evi_rag_tpu.models.gflownet.actor import ActorConfig, rollout
+from evi_rag_tpu.models.gflownet.embedder import (
+    embed_agent_batch,
+    init_edge_score_proj,
+)
+from evi_rag_tpu.models.gflownet.policy import GFlowNetEdgePolicy
+from evi_rag_tpu.models.gflownet.reward import RewardConfig, compute_reward
+from evi_rag_tpu.models.gflownet.state_encoder import GFlowNetEstimator, StateEncoder
+from evi_rag_tpu.models.gflownet.subtb import (
+    bc_weight_schedule,
+    log_flow_with_terminal_reward,
+    subtb_loss,
+)
+from evi_rag_tpu.train.optim import OptimizerConfig, setup_optimizer
+from evi_rag_tpu.train.retriever_trainer import TrainState
+
+log = logging.getLogger(__name__)
+
+POS_LABEL_THRESHOLD = 0.5
+
+
+@dataclasses.dataclass(frozen=True)
+class GFlowNetConfig:
+    hidden_dim: int = 1024
+    max_steps: int = 3
+    stop_on_answer: bool = True
+    policy_temperature: float = 1.0
+    eval_temperature: float = 1.0
+    num_train_rollouts: int = 4
+    reward: RewardConfig = RewardConfig()
+    use_state_dde: bool = False
+    bc_weight: float = 0.0
+    bc_weight_floor: float = 0.0
+    bc_hold_ratio: float = 0.0
+    bc_decay_ratio: float = 0.0
+    total_steps: int = 10_000
+    eval_rollout_prefixes: tuple[int, ...] = (1, 10, 25, 50, 100)
+    optimizer: OptimizerConfig = OptimizerConfig(name="adamw", learning_rate=1e-4)
+    max_epochs: int = 10
+    monitor: str = "answer_hit"
+    patience: int = 5
+    dropout: float = 0.1
+
+    @property
+    def actor(self) -> ActorConfig:
+        return ActorConfig(
+            max_steps=self.max_steps,
+            policy_temperature=self.policy_temperature,
+            stop_on_answer=self.stop_on_answer,
+        )
+
+
+@dataclasses.dataclass
+class GFlowNetModules:
+    policy: GFlowNetEdgePolicy
+    state_encoder: StateEncoder
+    estimator: GFlowNetEstimator
+
+
+def build_modules(cfg: GFlowNetConfig) -> GFlowNetModules:
+    return GFlowNetModules(
+        policy=GFlowNetEdgePolicy(hidden_dim=cfg.hidden_dim, dropout=cfg.dropout),
+        state_encoder=StateEncoder(
+            hidden_dim=cfg.hidden_dim,
+            max_steps=cfg.max_steps,
+            use_state_dde=cfg.use_state_dde,
+        ),
+        estimator=GFlowNetEstimator(hidden_dim=cfg.hidden_dim),
+    )
+
+
+def init_gflownet_params(
+    cfg: GFlowNetConfig,
+    modules: GFlowNetModules,
+    bundle: dict[str, Any],
+    example_batch: AgentBatch,
+    *,
+    seed: int = 0,
+) -> dict[str, Any]:
+    """Init trainable params: policy / state encoder / estimator /
+    edge_score_proj (the frozen retriever bundle is NOT trainable)."""
+    k0, k1, k2 = jax.random.split(jax.random.key(seed), 3)
+    h = cfg.hidden_dim
+
+    def _init():
+        embed = embed_agent_batch(
+            bundle, example_batch, edge_score_proj=init_edge_score_proj(h)
+        )
+        se_params = modules.state_encoder.init(
+            k0,
+            example_batch,
+            node_tokens=embed.node_tokens,
+            question_tokens=embed.question_tokens,
+            method=StateEncoder.precompute,
+        )
+        pol_params = modules.policy.init(
+            k1,
+            embed.edge_tokens,
+            jnp.zeros((example_batch.graph.num_graphs, h)),
+            example_batch.graph.edge_batch,
+            example_batch.graph.edge_mask,
+        )
+        est_params = modules.estimator.init(
+            k2,
+            jnp.zeros((example_batch.graph.num_graphs, h)),
+            embed.question_tokens,
+        )
+        return {
+            "policy": pol_params,
+            "state_encoder": se_params,
+            "estimator": est_params,
+            "edge_score_proj": init_edge_score_proj(h),
+        }
+
+    return jax.jit(_init)()
+
+
+def _rollout_losses(
+    params: dict[str, Any],
+    modules: GFlowNetModules,
+    bundle: dict[str, Any],
+    batch: AgentBatch,
+    rngs: jax.Array,           # [R] rollout keys
+    cfg: GFlowNetConfig,
+    *,
+    bc_weight: jax.Array,
+    temperature: float,
+    greedy: bool = False,
+    train: bool = False,
+) -> tuple[jax.Array, dict[str, jax.Array]]:
+    """Mean SubTB (+BC) loss over R rollouts; per-rollout metrics stacked."""
+    gb = batch.graph
+    embed = embed_agent_batch(bundle, batch, edge_score_proj=params["edge_score_proj"])
+    need_bc = train and cfg.bc_weight > 0.0
+    dag_mask = (batch.edge_labels > POS_LABEL_THRESHOLD) & gb.edge_mask if need_bc else None
+    actor_cfg = dataclasses.replace(cfg.actor, policy_temperature=temperature)
+    not_dummy = (~batch.is_dummy) & gb.graph_mask
+
+    def one_rollout(key):
+        ro = rollout(
+            policy=modules.policy,
+            state_encoder=modules.state_encoder,
+            policy_params=params["policy"],
+            encoder_params=params["state_encoder"],
+            batch=batch,
+            embed=embed,
+            rng=key,
+            config=actor_cfg,
+            greedy=greedy,
+            dag_edge_mask=dag_mask,
+        )
+        rw = compute_reward(
+            batch,
+            selected_mask=ro["selected_mask"],
+            answer_hit=ro["answer_hits"],
+            start_node_hit=ro["start_node_hit"],
+            answer_node_hit=ro["answer_node_hit"],
+            config=cfg.reward,
+        )
+        # Dummy/padding graphs carry -inf logR; zero it for the loss and
+        # exclude those graphs from the SubTB mean (reference :520-550).
+        log_r = jnp.where(not_dummy, rw.log_reward, 0.0)
+        log_flow_pred = modules.estimator.apply(
+            params["estimator"], ro["state_emb_seq"], embed.question_tokens
+        )  # [G, T]
+        flows = log_flow_with_terminal_reward(log_flow_pred, log_r, ro["length"].astype(jnp.int32))
+        l_subtb = subtb_loss(flows, ro["log_pf_steps"], ro["length"].astype(jnp.int32), graph_mask=not_dummy)
+        if need_bc:
+            bc = jnp.sum(ro["bc_loss_per_graph"] * not_dummy) / jnp.maximum(
+                jnp.sum(not_dummy.astype(jnp.float32)), 1.0
+            )
+        else:
+            bc = jnp.zeros(())
+        loss = l_subtb + bc_weight * bc
+        nd = jnp.maximum(jnp.sum(not_dummy.astype(jnp.float32)), 1.0)
+        metrics = {
+            "subtb_loss": l_subtb,
+            "bc_loss": bc,
+            "answer_hit_graphs": jnp.where(not_dummy, rw.success, 0.0),
+            "answer_hit": jnp.sum(jnp.where(not_dummy, rw.success, 0.0)) / nd,
+            "log_reward": jnp.sum(jnp.where(not_dummy, jnp.where(not_dummy, rw.log_reward, 0.0), 0.0)) / nd,
+            "length_mean": jnp.sum(jnp.where(not_dummy, rw.path_len, 0.0)) / nd,
+            "semantic": jnp.sum(jnp.where(not_dummy, rw.semantic_score, 0.0)) / nd,
+        }
+        return loss, metrics
+
+    losses, metrics = jax.vmap(one_rollout)(rngs)
+    mean_metrics = {k: jnp.mean(v, axis=0) for k, v in metrics.items() if k != "answer_hit_graphs"}
+    mean_metrics["answer_hit_graphs"] = metrics["answer_hit_graphs"]  # [R, G]
+    return jnp.mean(losses), mean_metrics
+
+
+def make_gfn_train_step(
+    modules: GFlowNetModules,
+    tx: Any,
+    cfg: GFlowNetConfig,
+    bundle: dict[str, Any],
+) -> Callable[[TrainState, AgentBatch], tuple[TrainState, dict[str, jax.Array]]]:
+    @jax.jit
+    def step(state: TrainState, batch: AgentBatch):
+        rng, sub = jax.random.split(state.rng)
+        rngs = jax.random.split(sub, cfg.num_train_rollouts)
+        bc_w = bc_weight_schedule(
+            state.step,
+            bc_weight=cfg.bc_weight,
+            bc_weight_floor=cfg.bc_weight_floor,
+            hold_steps=int(round(cfg.total_steps * cfg.bc_hold_ratio)),
+            decay_steps=int(round(cfg.total_steps * cfg.bc_decay_ratio)),
+        )
+
+        def loss_fn(params):
+            return _rollout_losses(
+                params, modules, bundle, batch, rngs, cfg,
+                bc_weight=bc_w, temperature=cfg.policy_temperature, train=True,
+            )
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        out = {k: v for k, v in metrics.items() if k != "answer_hit_graphs"}
+        out["loss"] = loss
+        out["bc_weight"] = bc_w
+        return TrainState(params=params, opt_state=opt_state, step=state.step + 1, rng=rng), out
+
+    return step
+
+
+def make_gfn_eval_step(
+    modules: GFlowNetModules,
+    cfg: GFlowNetConfig,
+    bundle: dict[str, Any],
+    *,
+    num_rollouts: int | None = None,
+) -> Callable[[dict, AgentBatch, jax.Array], dict[str, jax.Array]]:
+    """Best-of-k eval: answer_hit@{k} prefixes over sampled rollouts."""
+    ks = tuple(cfg.eval_rollout_prefixes)
+    r = num_rollouts if num_rollouts is not None else max(ks)
+
+    @jax.jit
+    def step(params, batch: AgentBatch, rng):
+        rngs = jax.random.split(rng, r)
+        loss, metrics = _rollout_losses(
+            params, modules, bundle, batch, rngs, cfg,
+            bc_weight=jnp.zeros(()), temperature=cfg.eval_temperature,
+        )
+        hits = metrics.pop("answer_hit_graphs") > 0.5  # [R, G]
+        not_dummy = (~batch.is_dummy) & batch.graph.graph_mask
+        cum = jnp.cumsum(hits.astype(jnp.int32), axis=0) > 0
+        out = dict(metrics)
+        out["loss"] = loss
+        for k in ks:
+            kk = min(max(int(k), 1), r)
+            out[f"answer_hit@{k}"] = cum[kk - 1].astype(jnp.float32)
+        out["graph_valid"] = not_dummy
+        return out
+
+    return step
+
+
+def evaluate_gflownet(
+    params: dict,
+    eval_step: Callable,
+    batches: Iterable[AgentBatch],
+    *,
+    rng: jax.Array,
+    ks: tuple[int, ...],
+) -> dict[str, float]:
+    from evi_rag_tpu.eval.metrics import MetricAccumulator
+
+    acc = MetricAccumulator()
+    for i, batch in enumerate(batches):
+        res = eval_step(params, batch, jax.random.fold_in(rng, i))
+        valid = res.pop("graph_valid")
+        per_graph = {k: v for k, v in res.items() if k.startswith("answer_hit@")}
+        acc.update(per_graph, valid)
+        scalars = {k: v for k, v in res.items() if not k.startswith("answer_hit@")}
+        for name, v in scalars.items():
+            acc.update({name: jnp.asarray(v)}, jnp.ones((), bool))
+    return acc.compute()
+
+
+def fit_gflownet(
+    cfg: GFlowNetConfig,
+    bundle: dict[str, Any],
+    train_batches: Callable[[int], Iterable[AgentBatch]],
+    val_batches: Callable[[], Iterable[AgentBatch]],
+    *,
+    seed: int = 0,
+    eval_rollouts: int = 4,
+) -> tuple[dict, dict[str, Any]]:
+    modules = build_modules(cfg)
+    first = next(iter(train_batches(0)))
+    params = init_gflownet_params(cfg, modules, bundle, first, seed=seed)
+    tx = setup_optimizer(cfg.optimizer, params)
+    opt_state = jax.jit(tx.init)(params)
+    state = TrainState(
+        params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(seed + 1),
+    )
+    train_step = make_gfn_train_step(modules, tx, cfg, bundle)
+    eval_step = make_gfn_eval_step(modules, cfg, bundle, num_rollouts=eval_rollouts)
+
+    best_score = -float("inf")
+    best_params = state.params
+    bad = 0
+    history: list[dict] = []
+    for epoch in range(cfg.max_epochs):
+        t0 = time.time()
+        last = {}
+        for batch in train_batches(epoch):
+            state, last = train_step(state, batch)
+        val = evaluate_gflownet(
+            state.params, eval_step, val_batches(), rng=jax.random.key(1000 + epoch),
+            ks=cfg.eval_rollout_prefixes,
+        )
+        score = val.get(cfg.monitor, val.get("answer_hit", -float("inf")))
+        history.append({
+            "epoch": epoch, "val": val,
+            "train_loss": float(last.get("loss", float("nan"))),
+            "seconds": time.time() - t0,
+        })
+        log.info("gfn epoch %d monitor=%.4f", epoch, score)
+        if score > best_score:
+            best_score, best_params, bad = score, jax.tree.map(lambda x: x, state.params), 0
+        else:
+            bad += 1
+            if bad > cfg.patience:
+                break
+    return best_params, {"history": history, "best_score": best_score, "final_state": state}

@@ -1,0 +1,208 @@
+"""Config-driven optimizers: AdamW / Muon with glob param groups + schedules.
+
+Re-designs the reference ``setup_optimizer`` (``src/utils/optimization.py:
+20-221``): fnmatch-style parameter-group patterns select per-group optimizers
+and hyperparameters; Muon (Newton-Schulz orthogonalized momentum) is
+implemented from scratch -- the NS iteration is five matmul steps per update,
+which maps straight onto the MXU (the reference depends on the external
+``muon-optimizer`` package with a separate distributed variant; under SPMD
+the same code serves any mesh because parameters are replicated and gradient
+psums happen in the backward pass).
+
+Cosine / cosine-with-restarts LR schedules mirror the Lightning schedulers
+configured in ``src/models/retriever_module.py:336-370``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fnmatch
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+# Quintic Newton-Schulz coefficients tuned for fast convergence to the
+# orthogonal polar factor (standard Muon setting).
+_NS_COEFFS = (3.4445, -4.7750, 2.0315)
+
+
+def newton_schulz_orthogonalize(g: jax.Array, steps: int = 5, eps: float = 1e-7) -> jax.Array:
+    """Approximate the orthogonal polar factor of a 2D matrix.
+
+    Iterates X <- a X + b (XX^T) X + c (XX^T)^2 X in bfloat16 -- pure MXU
+    work.  Wide matrices are handled by transposing.
+    """
+    if g.ndim != 2:
+        raise ValueError(f"newton_schulz expects 2D, got {g.shape}")
+    a, b, c = _NS_COEFFS
+    transpose = g.shape[0] > g.shape[1]
+    x = g.astype(jnp.bfloat16)
+    if transpose:
+        x = x.T
+    x = x / (jnp.linalg.norm(x) + eps)
+
+    def body(_, x):
+        xxt = x @ x.T
+        return a * x + (b * xxt + c * (xxt @ xxt)) @ x
+
+    x = jax.lax.fori_loop(0, steps, body, x)
+    if transpose:
+        x = x.T
+    return x.astype(g.dtype)
+
+
+def scale_by_muon(
+    momentum: float = 0.95,
+    *,
+    ns_steps: int = 5,
+    nesterov: bool = True,
+) -> optax.GradientTransformation:
+    """Muon: momentum followed by Newton-Schulz orthogonalization.
+
+    Non-2D parameters (biases, norms, embeddings reshaped 1D) fall through
+    with plain (nesterov) momentum; the caller typically routes them to AdamW
+    via param groups instead.
+    """
+
+    def init_fn(params):
+        return optax.TraceState(trace=jax.tree.map(jnp.zeros_like, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        new_trace = jax.tree.map(lambda g, t: g + momentum * t, updates, state.trace)
+        if nesterov:
+            eff = jax.tree.map(lambda g, t: g + momentum * t, updates, new_trace)
+        else:
+            eff = new_trace
+
+        def orth(u):
+            if u.ndim == 2:
+                o = newton_schulz_orthogonalize(u, steps=ns_steps)
+                # Scale to keep update RMS comparable to Adam (Muon convention).
+                return o * jnp.sqrt(jnp.maximum(1.0, u.shape[0] / u.shape[1]))
+            return u
+
+        return jax.tree.map(orth, eff), optax.TraceState(trace=new_trace)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def muon(
+    learning_rate: optax.ScalarOrSchedule,
+    momentum: float = 0.95,
+    *,
+    weight_decay: float = 0.0,
+    ns_steps: int = 5,
+) -> optax.GradientTransformation:
+    txs = [scale_by_muon(momentum, ns_steps=ns_steps)]
+    if weight_decay:
+        txs.append(optax.add_decayed_weights(weight_decay))
+    txs.append(optax.scale_by_learning_rate(learning_rate))
+    return optax.chain(*txs)
+
+
+@dataclasses.dataclass(frozen=True)
+class ParamGroup:
+    """A glob-pattern parameter group (reference ``optimization.py:82-170``)."""
+
+    patterns: tuple[str, ...]
+    optimizer: str = "adamw"  # adamw | muon | sgd
+    lr_scale: float = 1.0
+    weight_decay: float | None = None
+    momentum: float = 0.95
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    name: str = "adamw"                # default optimizer for ungrouped params
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.0
+    b1: float = 0.9
+    b2: float = 0.999
+    momentum: float = 0.95
+    grad_clip_norm: float | None = 1.0
+    groups: tuple[ParamGroup, ...] = ()
+    # schedule: constant | cosine | cosine_restarts
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 10_000
+    min_lr_ratio: float = 0.0
+    restart_period: int = 1_000
+
+
+def _make_schedule(cfg: OptimizerConfig, lr: float) -> optax.ScalarOrSchedule:
+    if cfg.schedule == "constant":
+        if cfg.warmup_steps:
+            return optax.linear_schedule(0.0, lr, cfg.warmup_steps)
+        return lr
+    if cfg.schedule == "cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0,
+            peak_value=lr,
+            warmup_steps=cfg.warmup_steps,
+            decay_steps=max(cfg.total_steps, cfg.warmup_steps + 1),
+            end_value=lr * cfg.min_lr_ratio,
+        )
+    if cfg.schedule == "cosine_restarts":
+        period = max(cfg.restart_period, 1)
+        kw = dict(
+            init_value=0.0, peak_value=lr, warmup_steps=min(cfg.warmup_steps, period // 2),
+            decay_steps=period, end_value=lr * cfg.min_lr_ratio,
+        )
+        n = max(1, -(-cfg.total_steps // period))
+        return optax.join_schedules(
+            [optax.warmup_cosine_decay_schedule(**kw) for _ in range(n)],
+            boundaries=[period * i for i in range(1, n)],
+        )
+    raise ValueError(f"unknown schedule {cfg.schedule!r}")
+
+
+def _single_optimizer(name: str, cfg: OptimizerConfig, lr_scale: float, wd: float, mom: float) -> optax.GradientTransformation:
+    sched = _make_schedule(cfg, cfg.learning_rate * lr_scale)
+    if name == "adamw":
+        return optax.adamw(sched, b1=cfg.b1, b2=cfg.b2, weight_decay=wd)
+    if name == "muon":
+        return muon(sched, momentum=mom, weight_decay=wd)
+    if name == "sgd":
+        return optax.sgd(sched, momentum=mom)
+    raise ValueError(f"unknown optimizer {name!r}")
+
+
+def _path_str(path: tuple) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+def setup_optimizer(cfg: OptimizerConfig, params: Any) -> optax.GradientTransformation:
+    """Build a (possibly multi-group) optimizer for a parameter pytree."""
+    txs: list[optax.GradientTransformation] = []
+    if cfg.grad_clip_norm:
+        txs.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+
+    if not cfg.groups:
+        txs.append(_single_optimizer(cfg.name, cfg, 1.0, cfg.weight_decay, cfg.momentum))
+        return optax.chain(*txs)
+
+    labels_tree = _label_params(cfg, params)
+    group_txs: dict[str, optax.GradientTransformation] = {}
+    for i, g in enumerate(cfg.groups):
+        wd = cfg.weight_decay if g.weight_decay is None else g.weight_decay
+        group_txs[f"group{i}"] = _single_optimizer(g.optimizer, cfg, g.lr_scale, wd, g.momentum)
+    group_txs["default"] = _single_optimizer(cfg.name, cfg, 1.0, cfg.weight_decay, cfg.momentum)
+    txs.append(optax.multi_transform(group_txs, labels_tree))
+    return optax.chain(*txs)
+
+
+def _label_params(cfg: OptimizerConfig, params: Any) -> Any:
+    def label(path, _leaf):
+        name = _path_str(path)
+        for i, g in enumerate(cfg.groups):
+            if any(fnmatch.fnmatch(name, pat) for pat in g.patterns):
+                return f"group{i}"
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(label, params)

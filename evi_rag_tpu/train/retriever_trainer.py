@@ -1,0 +1,243 @@
+"""Retriever training/eval loop (the reference's ``RetrieverModule`` +
+Lightning Trainer, re-designed as jitted pure steps).
+
+* ``make_train_step`` builds one jitted update: forward + InfoNCE + optax.
+  Data parallelism is *stacked*: the feeder packs one padded sub-batch per
+  mesh shard into a leading ``[D, ...]`` axis, the step ``vmap``s over it, and
+  XLA partitions that axis over the ``data`` mesh axis -- gathers stay local
+  to a shard (each sub-batch is self-contained), gradients psum over ICI.
+  This replaces Lightning DDP + NCCL (``configs/trainer/ddp.yaml``,
+  ``g_retrieval_datamodule.py:30-39``).
+* ``make_eval_step`` computes the full per-graph metric suite on device.
+* ``fit`` drives epochs with the reference's model-selection protocol:
+  monitor ``val/answer/reachability@100`` (max), early stopping, best-state
+  retention (``configs/experiment/train_retriever.yaml:27-35``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Any, Callable, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evi_rag_tpu.eval.metrics import (
+    MetricAccumulator,
+    answer_reachability_at_k,
+    bridge_positive_coverage,
+    edge_recall_at_k,
+    prob_quality,
+    score_margin,
+)
+from evi_rag_tpu.models.batches import RetrieverBatch
+from evi_rag_tpu.models.losses import RetrieverLossConfig, retriever_loss
+from evi_rag_tpu.models.retriever import Retriever
+from evi_rag_tpu.train.optim import OptimizerConfig, setup_optimizer
+
+log = logging.getLogger(__name__)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrieverTrainConfig:
+    loss: RetrieverLossConfig = RetrieverLossConfig()
+    optimizer: OptimizerConfig = OptimizerConfig(name="adamw", learning_rate=1e-4)
+    max_epochs: int = 10
+    monitor: str = "answer/reachability@100"
+    monitor_mode: str = "max"
+    patience: int = 5
+    k_values: tuple[int, ...] = (1, 10, 25, 50, 100, 200, 300, 400, 500)
+
+
+def create_train_state(
+    model: Retriever,
+    example_batch: RetrieverBatch,
+    cfg: RetrieverTrainConfig,
+    *,
+    seed: int = 0,
+) -> tuple[TrainState, Any]:
+    """Init params + optimizer. ``example_batch`` may be stacked or flat."""
+    flat = example_batch
+    if flat.question_emb.ndim == 3:  # stacked [D, G, dim]
+        flat = jax.tree.map(lambda x: x[0], flat)
+    params = jax.jit(model.init)(jax.random.key(seed), flat)
+    tx = setup_optimizer(cfg.optimizer, params)
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), rng=jax.random.key(seed + 1)), tx
+
+
+def make_train_step(
+    model: Retriever,
+    tx: Any,
+    cfg: RetrieverTrainConfig,
+) -> Callable[[TrainState, RetrieverBatch], tuple[TrainState, dict[str, jax.Array]]]:
+    """Jitted update over a stacked ``[D, ...]`` batch."""
+    loss_cfg = cfg.loss
+
+    def shard_loss(params, batch: RetrieverBatch, rng):
+        rngs = {"dropout": rng, "hide_seek": jax.random.fold_in(rng, 1)}
+        out = model.apply(params, batch, train=True, rngs=rngs)
+        lo = retriever_loss(
+            out.logits,
+            batch.edge_labels,
+            batch.graph.edge_batch,
+            num_graphs=batch.graph.num_graphs,
+            graph_mask=batch.graph.graph_mask,
+            edge_mask=batch.graph.edge_mask,
+            config=loss_cfg,
+            edge_is_near=batch.edge_is_near if loss_cfg.requires_edge_is_near else None,
+        )
+        return lo.loss, {**lo.components, **lo.metrics}
+
+    def loss_fn(params, stacked: RetrieverBatch, rng):
+        d = stacked.question_emb.shape[0]
+        rngs = jax.random.split(rng, d)
+        losses, metrics = jax.vmap(shard_loss, in_axes=(None, 0, 0))(params, stacked, rngs)
+        return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+
+    @jax.jit
+    def step(state: TrainState, stacked: RetrieverBatch):
+        rng, sub = jax.random.split(state.rng)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, stacked, sub
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state, step=state.step + 1, rng=rng)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["grad_norm"] = jnp.sqrt(
+            sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(
+    model: Retriever, cfg: RetrieverTrainConfig
+) -> Callable[[Any, RetrieverBatch], dict[str, jax.Array]]:
+    """Jitted per-batch metric computation (flat batch, one device/replicated).
+
+    Mirrors ``RetrieverModule._shared_eval_step`` + the metric collection
+    (reference ``retriever_module.py:99-176``).
+    """
+    ks = cfg.k_values
+
+    @jax.jit
+    def step(params, batch: RetrieverBatch) -> dict[str, jax.Array]:
+        out = model.apply(params, batch)
+        scores = out.logits
+        labels = batch.edge_labels
+        res: dict[str, jax.Array] = {}
+        rec = edge_recall_at_k(scores, labels, batch, ks)
+        res.update({f"edge/{k}": v for k, v in rec.items() if k != "graph_valid"})
+        res["edge/graph_valid"] = rec["graph_valid"]
+        bridge_sub = ~batch.edge_is_near
+        brec = edge_recall_at_k(
+            scores, labels, batch, ks, subset_mask=bridge_sub, require_positive=True
+        )
+        res.update({f"bridge/{k}": v for k, v in brec.items() if k != "graph_valid"})
+        res["bridge/graph_valid"] = brec["graph_valid"]
+        reach = answer_reachability_at_k(scores, batch, ks)
+        res.update({f"answer/{k}": v for k, v in reach.items() if k != "graph_valid"})
+        res["answer/graph_valid"] = reach["graph_valid"]
+        sm = score_margin(scores, labels, batch)
+        res["edge/score_margin"] = sm["margin"]
+        res["edge/margin_valid"] = sm["graph_valid"]
+        pq = prob_quality(scores, labels, batch, subset_mask=bridge_sub)
+        res.update({f"bridge/{k}": v for k, v in pq.items() if k != "graph_valid"})
+        res["bridge/quality_valid"] = pq["graph_valid"]
+        res["coverage"] = bridge_positive_coverage(labels, batch)  # scalar sums
+        res["logits"] = scores
+        return res
+
+    return step
+
+
+def evaluate(
+    params: Any,
+    eval_step: Callable,
+    batches: Iterable[RetrieverBatch],
+) -> dict[str, float]:
+    """Aggregate the metric suite over an eval split."""
+    acc = MetricAccumulator()
+    cov = MetricAccumulator()
+    for batch in batches:
+        res = eval_step(params, batch)
+        groups = {
+            "edge/graph_valid": [k for k in res if k.startswith("edge/recall")],
+            "bridge/graph_valid": [k for k in res if k.startswith("bridge/recall")],
+            "answer/graph_valid": [k for k in res if k.startswith("answer/reach")],
+            "edge/margin_valid": ["edge/score_margin"],
+            "bridge/quality_valid": ["bridge/pos_prob", "bridge/neg_prob", "bridge/separation"],
+        }
+        for valid_key, names in groups.items():
+            acc.update({n: res[n] for n in names}, res[valid_key])
+        cov.update_sums(res["coverage"])
+    out = acc.compute()
+    c = cov._sums
+    out["bridge/pos_edge_frac"] = c.get("bridge_pos_edges", 0.0) / max(c.get("total_pos_edges", 0.0), 1e-8)
+    out["bridge/pos_graph_frac"] = c.get("graphs_with_bridge_pos", 0.0) / max(
+        c.get("graphs_with_pos", 0.0), 1e-8
+    )
+    return out
+
+
+def fit(
+    model: Retriever,
+    cfg: RetrieverTrainConfig,
+    train_batches: Callable[[int], Iterable[RetrieverBatch]],
+    val_batches: Callable[[], Iterable[RetrieverBatch]],
+    *,
+    seed: int = 0,
+    log_every: int = 50,
+) -> tuple[Any, dict[str, Any]]:
+    """Epoch loop with monitored early stopping; returns (best_params, history)."""
+    first = next(iter(train_batches(0)))
+    state, tx = create_train_state(model, first, cfg, seed=seed)
+    train_step = make_train_step(model, tx, cfg)
+    eval_step = make_eval_step(model, cfg)
+
+    sign = 1.0 if cfg.monitor_mode == "max" else -1.0
+    best_score = -float("inf")
+    best_params = state.params
+    bad_epochs = 0
+    history: list[dict[str, Any]] = []
+
+    for epoch in range(cfg.max_epochs):
+        t0 = time.time()
+        n_steps = 0
+        last_loss = float("nan")
+        for batch in train_batches(epoch):
+            state, metrics = train_step(state, batch)
+            n_steps += 1
+            if n_steps % log_every == 0:
+                last_loss = float(metrics["loss"])
+                log.info("epoch %d step %d loss %.4f", epoch, n_steps, last_loss)
+        val = evaluate(state.params, eval_step, val_batches())
+        score = sign * val.get(cfg.monitor, -float("inf"))
+        history.append({"epoch": epoch, "val": val, "train_loss": float(last_loss), "seconds": time.time() - t0})
+        log.info("epoch %d %s=%.4f", epoch, cfg.monitor, val.get(cfg.monitor, float("nan")))
+        if score > best_score:
+            best_score = score
+            best_params = jax.tree.map(lambda x: x, state.params)
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+            if bad_epochs > cfg.patience:
+                log.info("early stop at epoch %d", epoch)
+                break
+    return best_params, {"history": history, "best_score": sign * best_score, "final_state": state}

@@ -1,0 +1,112 @@
+"""End-to-end retriever training on synthetic data: loss falls, recall rises."""
+
+import jax
+import numpy as np
+import pytest
+
+from evi_rag_tpu.data.feeder import Bucket, collate_retriever, iter_stacked_batches
+from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+from evi_rag_tpu.models.losses import RetrieverLossConfig
+from evi_rag_tpu.models.retriever import Retriever
+from evi_rag_tpu.train.optim import OptimizerConfig, ParamGroup, setup_optimizer
+from evi_rag_tpu.train.retriever_trainer import (
+    RetrieverTrainConfig,
+    create_train_state,
+    evaluate,
+    fit,
+    make_eval_step,
+    make_train_step,
+)
+
+EMB = 32
+
+
+@pytest.fixture(scope="module")
+def data():
+    train = make_synthetic_dataset(num_samples=48, emb_dim=EMB, max_nodes=16, seed=2)
+    return train
+
+
+def test_train_improves_recall(data):
+    ds = data
+    model = Retriever(emb_dim=EMB, hidden_dim=64, dropout_p=0.0)
+    cfg = RetrieverTrainConfig(
+        loss=RetrieverLossConfig(infonce_temperature=1.0),
+        optimizer=OptimizerConfig(name="adamw", learning_rate=3e-3, grad_clip_norm=1.0),
+        max_epochs=8,
+        k_values=(1, 5, 10),
+        monitor="edge/recall@5",
+        patience=8,
+    )
+    bucket = Bucket(graphs=9, nodes=256, edges=1024)
+    kwargs = dict(
+        entity_emb=ds.entity_emb,
+        relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb,
+    )
+
+    def train_batches(epoch):
+        return iter_stacked_batches(
+            ds.samples, num_shards=2, per_shard_batch=8, bucket=bucket, seed=epoch, **kwargs
+        )
+
+    def val_batches():
+        for i in range(0, 16, 8):
+            yield collate_retriever(ds.samples[i : i + 8], bucket=bucket, **kwargs)
+
+    # Baseline metrics with random init.
+    first = next(iter(train_batches(0)))
+    state, tx = create_train_state(model, first, cfg, seed=0)
+    eval_step = make_eval_step(model, cfg)
+    before = evaluate(state.params, eval_step, val_batches())
+
+    best_params, info = fit(model, cfg, train_batches, val_batches, seed=0)
+    after = evaluate(best_params, eval_step, val_batches())
+
+    assert info["history"], "no epochs ran"
+    assert after["edge/recall@5"] > before["edge/recall@5"] + 0.05, (
+        f"recall@5 did not improve: {before['edge/recall@5']:.3f} -> {after['edge/recall@5']:.3f}"
+    )
+    assert after["edge/recall@5"] > 0.5
+    # Reachability@k and separation should be sane.
+    assert 0.0 <= after["answer/reachability@10"] <= 1.0
+    assert after["bridge/pos_edge_frac"] <= 1.0
+
+
+def test_muon_param_groups_step(data):
+    """Muon on 2D matrices + AdamW elsewhere performs a finite update."""
+    ds = data
+    model = Retriever(emb_dim=EMB, hidden_dim=64, dropout_p=0.0)
+    cfg = RetrieverTrainConfig(
+        optimizer=OptimizerConfig(
+            name="adamw",
+            learning_rate=1e-3,
+            schedule="cosine",
+            total_steps=100,
+            warmup_steps=0,
+            groups=(
+                ParamGroup(patterns=("params/state_net_*/kernel", "params/score_head/kernel"), optimizer="muon"),
+            ),
+        ),
+        max_epochs=1,
+        k_values=(5,),
+    )
+    bucket = Bucket(graphs=5, nodes=128, edges=512)
+    batch = collate_retriever(
+        ds.samples[:4],
+        entity_emb=ds.entity_emb,
+        relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb,
+        bucket=bucket,
+    )
+    stacked = jax.tree.map(lambda x: x[None], batch)
+    state, tx = create_train_state(model, batch, cfg, seed=0)
+    step = make_train_step(model, tx, cfg)
+    state2, metrics = step(state, stacked)
+    assert np.isfinite(float(metrics["loss"]))
+    # Params actually moved.
+    diff = sum(
+        float(abs(np.asarray(a) - np.asarray(b)).sum())
+        for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params))
+    )
+    assert diff > 0
