@@ -1,0 +1,188 @@
+"""Headline benchmark: retriever query throughput per chip.
+
+Measures the north-star metric from BASELINE.json -- queries/sec/chip of the
+fused triple-scoring + streaming-top-k engine (``evi_rag_tpu/ops/query.py``)
+at production scale (D=1024 embeddings, bidirectional scoring, top-100 of
+131k candidate triples per query -- the reference's recall@100 operating
+point over a large candidate fan-out).
+
+``vs_baseline`` is measured against the same scorer executed by torch on the
+host CPU (the reference implementation's stack, which published no numbers
+of its own -- see BASELINE.md); the CPU reference is timed on a reduced
+candidate set and scaled linearly.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+
+import numpy as np
+
+
+def build_inputs(num_candidates: int, dim: int, struct_dim: int, batch: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    return {
+        "head": rng.normal(size=(num_candidates, dim)).astype(np.float32) * 0.1,
+        "rel": rng.normal(size=(num_candidates, dim)).astype(np.float32) * 0.1,
+        "tail": rng.normal(size=(num_candidates, dim)).astype(np.float32) * 0.1,
+        "struct": rng.normal(size=(num_candidates, struct_dim)).astype(np.float32),
+        "q": rng.normal(size=(batch, dim)).astype(np.float32),
+    }
+
+
+def make_bundle(dim: int, hidden: int, struct_dim: int, seed: int = 0):
+    """Random retriever feature bundle with the production geometry."""
+    rng = np.random.default_rng(seed)
+
+    def dense(i, o):
+        return {
+            "kernel": (rng.normal(size=(i, o)) / np.sqrt(i)).astype(np.float32),
+            "bias": np.zeros(o, np.float32),
+        }
+
+    def ln(d):
+        return {"scale": np.ones(d, np.float32), "bias": np.zeros(d, np.float32)}
+
+    feats = {
+        "entity_proj": {"proj": dense(dim, dim)},
+        "relation_proj": {"proj": dense(dim, dim)},
+        "query_proj": {"proj": dense(dim, dim)},
+        "non_text_entity_emb": np.zeros(dim, np.float32),
+        "q_gate": dense(dim, dim),
+        "q_bias": dense(dim, dim),
+        "struct_proj": dense(struct_dim, dim),
+        "struct_norm": ln(dim),
+        "struct_gate": dense(dim, 1),
+        "state_net_0": dense(3 * dim + 1, hidden),
+        "state_norm": ln(hidden),
+        "state_net_1": dense(hidden, hidden),
+        "score_head": dense(hidden, 1),
+    }
+    parity = {"use_topic_pe": 1, "num_topics": 2, "dde_rounds": 2, "dde_reverse_rounds": 2}
+    return {"features": feats, "parity_meta": parity}
+
+
+def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.ops.query import TripleIndex, query_topk
+
+    index = TripleIndex(
+        head_repr=jnp.asarray(inputs["head"]),
+        rel_repr=jnp.asarray(inputs["rel"]),
+        tail_repr=jnp.asarray(inputs["tail"]),
+        struct_raw=jnp.asarray(inputs["struct"]),
+    )
+    bundle_j = jax.tree.map(jnp.asarray, bundle)
+    q = jnp.asarray(inputs["q"])
+
+    def run():
+        return query_topk(bundle_j, q, index, k=k, chunk=chunk)
+
+    def sync(x):
+        # NOTE: under the remote-TPU tunnel block_until_ready does not imply
+        # execution completion; a device->host fetch does.
+        return np.asarray(x[0])
+
+    sync(run())  # compile + warm
+    sync(run())
+    t0 = time.perf_counter()
+    for _ in range(iters - 1):
+        run()
+    sync(run())
+    dt = (time.perf_counter() - t0) / iters
+    nq = q.shape[0]
+    return nq / dt, dt
+
+
+def bench_cpu_reference(bundle, inputs, *, reduced: int = 2048):
+    """Torch-CPU run of the same scorer on a reduced set, scaled linearly."""
+    try:
+        import torch
+    except Exception:
+        return None
+    def to_torch(x):
+        if isinstance(x, dict):
+            return {k: to_torch(v) for k, v in x.items()}
+        return torch.from_numpy(np.asarray(x))
+
+    f = to_torch(bundle["features"])
+
+    def dense(p, x):
+        return x @ p["kernel"] + p["bias"]
+
+    def lnorm(p, x):
+        m = x.mean(-1, keepdim=True)
+        v = x.var(-1, unbiased=False, keepdim=True)
+        return (x - m) / torch.sqrt(v + 1e-6) * p["scale"] + p["bias"]
+
+    h = torch.from_numpy(inputs["head"][:reduced])
+    r = torch.from_numpy(inputs["rel"][:reduced])
+    t = torch.from_numpy(inputs["tail"][:reduced])
+    s = torch.from_numpy(inputs["struct"][:reduced])
+    q = torch.from_numpy(inputs["q"][:1])
+    s_dim = s.shape[-1] // 2
+
+    def score(qrow, h, r, t, s):
+        qp = torch.tanh(dense(f["query_proj"]["proj"], qrow))
+        gate = torch.sigmoid(dense(f["q_gate"], qp))
+        bias = torch.tanh(dense(f["q_bias"], qp))
+        r_ctx = r * gate + bias
+        sc = torch.nn.functional.gelu(lnorm(f["struct_norm"], dense(f["struct_proj"], s)))
+        nav = torch.sigmoid(dense(f["struct_gate"], sc))
+        inter = h * r_ctx * t * nav
+        err = h + r_ctx - t
+        dist = -torch.sqrt((err * err).sum(-1, keepdim=True) + 1e-12)
+        comb = torch.cat([inter, sc, err, dist], dim=-1)
+        z = torch.nn.functional.gelu(lnorm(f["state_norm"], dense(f["state_net_0"], comb)))
+        z = dense(f["state_net_1"], z)
+        return dense(f["score_head"], z)[..., 0]
+
+    with torch.no_grad():
+        score(q[0], h, r, t, s)  # warm
+        t0 = time.perf_counter()
+        fwd = score(q[0], h, r, t, s)
+        s_swap = torch.cat([s[:, s_dim:], s[:, :s_dim]], dim=-1)
+        bwd = score(q[0], t, r, h, s_swap)
+        st = torch.stack([fwd, bwd])
+        w = torch.softmax(st, dim=0)
+        _ = torch.topk((w * st).sum(0), k=min(100, reduced))
+        dt_reduced = time.perf_counter() - t0
+    full_m = inputs["head"].shape[0]
+    dt_full = dt_reduced * (full_m / reduced)
+    return 1.0 / dt_full  # queries/sec (single CPU)
+
+
+def main():
+    dim, hidden = 1024, 1024
+    struct_dim = 2 * 2 * (1 + 2 + 2)  # edge struct = concat(head, tail) topic features
+    num_candidates = 131072
+    batch = 8
+    k = 100
+
+    bundle = make_bundle(dim, hidden, struct_dim)
+    inputs = build_inputs(num_candidates, dim, struct_dim, batch)
+
+    qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096)
+    cpu_qps = bench_cpu_reference(bundle, inputs)
+    vs = qps / cpu_qps if cpu_qps else float("nan")
+    print(
+        json.dumps(
+            {
+                "metric": "query_throughput_131k_candidates_top100_d1024",
+                "value": round(qps, 3),
+                "unit": "queries/sec/chip",
+                "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

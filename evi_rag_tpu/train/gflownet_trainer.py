@@ -107,6 +107,15 @@ def init_gflownet_params(
     k0, k1, k2 = jax.random.split(jax.random.key(seed), 3)
     h = cfg.hidden_dim
 
+    def _se_init(module: StateEncoder, batch, node_tokens, question_tokens):
+        # Touch ALL submodules (precompute + encode_state) so every parameter
+        # collection exists before rollout-time apply.
+        cache = module.precompute(batch, node_tokens=node_tokens, question_tokens=question_tokens)
+        from evi_rag_tpu.models.gflownet.env import env_reset
+
+        state0 = env_reset(batch, max_steps=cfg.max_steps, hidden_dim=h)
+        return module.encode_state(cache, state0, batch)
+
     def _init():
         embed = embed_agent_batch(
             bundle, example_batch, edge_score_proj=init_edge_score_proj(h)
@@ -114,9 +123,9 @@ def init_gflownet_params(
         se_params = modules.state_encoder.init(
             k0,
             example_batch,
-            node_tokens=embed.node_tokens,
-            question_tokens=embed.question_tokens,
-            method=StateEncoder.precompute,
+            embed.node_tokens,
+            embed.question_tokens,
+            method=_se_init,
         )
         pol_params = modules.policy.init(
             k1,

@@ -1,0 +1,250 @@
+"""GFlowNet rollout + SubTB training: correctness and a few update steps."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evi_rag_tpu.data.feeder import Bucket, collate_agent, fixed_agent_bucket
+from evi_rag_tpu.data.g_agent import AgentSettings, build_agent_sample
+from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+from evi_rag_tpu.models.gflownet.actor import ActorConfig, rollout
+from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch, init_edge_score_proj
+from evi_rag_tpu.models.gflownet.subtb import (
+    bc_weight_schedule,
+    log_flow_with_terminal_reward,
+    subtb_loss,
+)
+from evi_rag_tpu.models.retriever import Retriever
+from evi_rag_tpu.train.checkpoint import export_retriever_features
+from evi_rag_tpu.train.gflownet_trainer import (
+    GFlowNetConfig,
+    build_modules,
+    init_gflownet_params,
+    make_gfn_eval_step,
+    make_gfn_train_step,
+)
+from evi_rag_tpu.train.optim import OptimizerConfig
+from evi_rag_tpu.train.retriever_trainer import TrainState
+from evi_rag_tpu.train.optim import setup_optimizer
+
+EMB = 16
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ds = make_synthetic_dataset(num_samples=8, emb_dim=EMB, max_nodes=12, seed=5)
+    rng = np.random.default_rng(0)
+    agent_samples = []
+    for s in ds.samples:
+        a = build_agent_sample(
+            sample_id=s.sample_id,
+            question_id=s.question_id,
+            heads=s.edge_index[0],
+            tails=s.edge_index[1],
+            relations=s.edge_relations,
+            labels=s.edge_labels.astype(np.float32),
+            scores=rng.normal(size=s.edge_index.shape[1]).astype(np.float32)
+            + 2.0 * s.edge_labels.astype(np.float32),
+            node_entity_ids=np.arange(1000, 1000 + s.num_nodes),
+            node_embedding_ids=s.node_embedding_ids,
+            start_entity_ids=1000 + s.topic_locals,
+            answer_entity_ids=1000 + s.answer_locals,
+            settings=AgentSettings(edge_top_k=20, max_hops=3, score_mode="logits"),
+        )
+        if a is not None:
+            agent_samples.append(a)
+    assert len(agent_samples) >= 4
+    agent_samples = agent_samples[:4]
+    bucket = fixed_agent_bucket(agent_samples, 4)
+    bucket = dataclasses.replace(bucket, nodes=min(bucket.nodes, 128), edges=min(bucket.edges, 512))
+    batch = collate_agent(
+        agent_samples,
+        entity_emb=ds.entity_emb,
+        relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb,
+        bucket=bucket,
+    )
+    retr = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    # Build a minimal retriever batch for init shapes: reuse agent arrays.
+    from evi_rag_tpu.models.batches import RetrieverBatch
+
+    rb = RetrieverBatch(
+        graph=batch.graph,
+        node_emb=batch.node_emb,
+        node_is_nontext=batch.node_is_nontext,
+        edge_emb=batch.edge_emb,
+        question_emb=batch.question_emb,
+        topic_one_hot=jnp.stack(
+            [batch.node_is_start.astype(jnp.float32), 1 - batch.node_is_start.astype(jnp.float32)],
+            axis=-1,
+        ),
+        edge_labels=batch.edge_labels,
+        node_is_q=batch.node_is_start,
+        node_is_a=batch.node_is_answer,
+    )
+    rparams = jax.jit(retr.init)(jax.random.key(0), rb)
+    bundle = export_retriever_features(rparams["params"], retr.parity_meta())
+    return ds, batch, bundle
+
+
+def _cfg():
+    return GFlowNetConfig(
+        hidden_dim=EMB,
+        max_steps=2,
+        stop_on_answer=True,
+        num_train_rollouts=2,
+        bc_weight=0.5,
+        total_steps=50,
+        eval_rollout_prefixes=(1, 2, 4),
+        optimizer=OptimizerConfig(name="adamw", learning_rate=1e-3, grad_clip_norm=1.0),
+        dropout=0.0,
+    )
+
+
+def test_embedder_outputs(setup):
+    _, batch, bundle = setup
+    out = jax.jit(
+        lambda b: embed_agent_batch(bundle, b, edge_score_proj=init_edge_score_proj(EMB))
+    )(batch)
+    assert out.edge_tokens.shape == (batch.graph.num_edges, EMB)
+    assert out.node_tokens.shape == (batch.graph.num_nodes, EMB)
+    assert np.isfinite(np.asarray(out.edge_tokens)).all()
+    # Zero-init score proj: token independent of score at init.
+
+
+def test_rollout_shapes_and_logpf(setup):
+    _, batch, bundle = setup
+    cfg = _cfg()
+    modules = build_modules(cfg)
+    params = init_gflownet_params(cfg, modules, bundle, batch, seed=0)
+
+    @jax.jit
+    def run(key):
+        embed = embed_agent_batch(bundle, batch, edge_score_proj=params["edge_score_proj"])
+        return rollout(
+            policy=modules.policy,
+            state_encoder=modules.state_encoder,
+            policy_params=params["policy"],
+            encoder_params=params["state_encoder"],
+            batch=batch,
+            embed=embed,
+            rng=key,
+            config=cfg.actor,
+        )
+
+    ro = run(jax.random.key(0))
+    g = batch.graph.num_graphs
+    T = cfg.max_steps + 1
+    assert ro["log_pf_steps"].shape == (g, T)
+    assert ro["state_emb_seq"].shape == (g, T, EMB)
+    assert ro["actions_seq"].shape == (g, T)
+    lp = np.asarray(ro["log_pf"])
+    assert np.isfinite(lp).all()
+    assert (lp <= 1e-5).all()  # log-probabilities
+    # Selected edges belong to the right graphs and respect ordering.
+    sel = np.asarray(ro["selected_mask"])
+    order = np.asarray(ro["selection_order"])
+    assert ((order >= 0) == sel).all()
+    # Actions in sequence either STOP or valid edges of their own graph.
+    eb = np.asarray(batch.graph.edge_batch)
+    for g_i in range(g - 1):
+        for t in range(T):
+            a = int(ro["actions_seq"][g_i, t])
+            if a >= 0:
+                assert eb[a] == g_i
+
+
+def test_forced_rollout_replays_actions(setup):
+    _, batch, bundle = setup
+    cfg = _cfg()
+    modules = build_modules(cfg)
+    params = init_gflownet_params(cfg, modules, bundle, batch, seed=0)
+    embed = embed_agent_batch(bundle, batch, edge_score_proj=params["edge_score_proj"])
+    free = rollout(
+        policy=modules.policy, state_encoder=modules.state_encoder,
+        policy_params=params["policy"], encoder_params=params["state_encoder"],
+        batch=batch, embed=embed, rng=jax.random.key(3), config=cfg.actor,
+    )
+    forced = rollout(
+        policy=modules.policy, state_encoder=modules.state_encoder,
+        policy_params=params["policy"], encoder_params=params["state_encoder"],
+        batch=batch, embed=embed, rng=jax.random.key(99), config=cfg.actor,
+        forced_actions=free["actions_seq"],
+    )
+    np.testing.assert_array_equal(
+        np.asarray(forced["actions_seq"]), np.asarray(free["actions_seq"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(forced["log_pf"]), np.asarray(free["log_pf"]), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_subtb_closed_form_vs_bruteforce():
+    rng = np.random.default_rng(0)
+    G, T = 3, 4
+    log_pf = rng.normal(size=(G, T)).astype(np.float32)
+    log_flow = rng.normal(size=(G, T + 1)).astype(np.float32)
+    lengths = np.array([0, 2, 3])
+    got = float(subtb_loss(jnp.asarray(log_flow), jnp.asarray(log_pf), jnp.asarray(lengths)))
+    # Brute force: sum over 0<=i<j<=term of (F_i + sum pf[i:j] - F_j)^2.
+    per = []
+    for g in range(G):
+        term = min(max(lengths[g], 0), T - 1) + 1
+        prefix = np.concatenate([[0], np.cumsum(log_pf[g])])
+        tot, cnt = 0.0, 0
+        for i in range(term + 1):
+            for j in range(i + 1, term + 1):
+                r = log_flow[g, i] + (prefix[j] - prefix[i]) - log_flow[g, j]
+                tot += r * r
+                cnt += 1
+        per.append(tot / max(cnt, 1))
+    np.testing.assert_allclose(got, np.mean(per), rtol=1e-4)
+
+
+def test_log_flow_terminal_overwrite():
+    lf = jnp.zeros((2, 3))
+    lr = jnp.asarray([5.0, 7.0])
+    lengths = jnp.asarray([1, 99])
+    out = np.asarray(log_flow_with_terminal_reward(lf, lr, lengths))
+    assert out.shape == (2, 4)
+    assert out[0, 2] == 5.0 and out[0, 3] == 5.0
+    assert out[1, 3] == 7.0  # clamped to last slot
+
+
+def test_bc_schedule():
+    w = bc_weight_schedule(0, bc_weight=1.0, hold_steps=10, decay_steps=10)
+    assert float(w) == 1.0
+    w = bc_weight_schedule(20, bc_weight=1.0, hold_steps=10, decay_steps=10)
+    assert float(w) == pytest.approx(0.0, abs=1e-6)
+    w = bc_weight_schedule(15, bc_weight=1.0, hold_steps=10, decay_steps=10)
+    assert 0.4 < float(w) < 0.6
+
+
+def test_gfn_train_steps_reduce_loss(setup):
+    _, batch, bundle = setup
+    cfg = _cfg()
+    modules = build_modules(cfg)
+    params = init_gflownet_params(cfg, modules, bundle, batch, seed=0)
+    tx = setup_optimizer(cfg.optimizer, params)
+    state = TrainState(
+        params=params, opt_state=jax.jit(tx.init)(params),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+    )
+    step = make_gfn_train_step(modules, tx, cfg, bundle)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+    eval_step = make_gfn_eval_step(modules, cfg, bundle, num_rollouts=4)
+    res = eval_step(state.params, batch, jax.random.key(2))
+    assert np.isfinite(float(res["loss"]))
+    hit1 = np.asarray(res["answer_hit@1"])
+    hit4 = np.asarray(res["answer_hit@4"])
+    valid = np.asarray(res["graph_valid"])
+    assert (hit4[valid] >= hit1[valid]).all()  # best-of-k monotone
