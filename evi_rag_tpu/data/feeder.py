@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from evi_rag_tpu.data.g_agent import AgentSample
-from evi_rag_tpu.data.synthetic import SyntheticSample
+from evi_rag_tpu.data.sample import RetrievalSample as SyntheticSample
 from evi_rag_tpu.models.batches import AgentBatch, PairSupervision, RetrieverBatch
 from evi_rag_tpu.ops.graph import pad_graphs
 

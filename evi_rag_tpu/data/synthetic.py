@@ -19,22 +19,10 @@ import dataclasses
 import numpy as np
 
 from evi_rag_tpu.data.bfs_label import shortest_path_union_by_pair
+from evi_rag_tpu.data.sample import RetrievalSample
 
-
-@dataclasses.dataclass
-class SyntheticSample:
-    sample_id: str
-    num_nodes: int
-    edge_index: np.ndarray        # [2, E] local
-    edge_relations: np.ndarray    # [E] relation vocab ids
-    node_embedding_ids: np.ndarray  # [N] entity vocab ids (0 == non-text)
-    topic_locals: np.ndarray      # [S] seed node locals
-    answer_locals: np.ndarray     # [A]
-    edge_labels: np.ndarray       # [E] bool: on some seed->answer shortest path
-    pair_start_local: np.ndarray  # [P]
-    pair_answer_local: np.ndarray  # [P]
-    pair_shortest_len: np.ndarray  # [P]
-    question_id: int
+# Synthetic samples are ordinary retrieval samples.
+SyntheticSample = RetrievalSample
 
 
 @dataclasses.dataclass
