@@ -1,0 +1,22 @@
+.PHONY: test test-full test-native lint bench entry clean
+
+test:            ## fast tests (skip slow pipeline tests)
+	python -m pytest tests/ -q -m "not slow"
+
+test-full:       ## everything incl. the full CLI pipeline
+	python -m pytest tests/ -q
+
+test-native:     ## native graphcore parity
+	python -m pytest tests/test_native_graphcore.py -q
+
+bench:           ## headline throughput benchmark (real TPU)
+	python bench.py
+
+entry:           ## driver entry checks
+	python __graft_entry__.py
+
+native:          ## build the C++ graphcore library
+	g++ -O3 -march=native -shared -fPIC -std=c++17 native/graphcore.cpp -o native/libgraphcore.so
+
+clean:
+	rm -rf logs artifacts native/libgraphcore.so

@@ -1,0 +1,724 @@
+"""Unified CLI: the reference's ``src/train.py`` / ``src/eval.py`` surface.
+
+Usage::
+
+    python -m evi_rag_tpu.cli <task> [--configs-dir configs] [key=value ...]
+
+Tasks (the reference's experiment aliases, ``configs/experiment/*``):
+
+* ``build``           -- offline data build (L0)
+* ``train_retriever`` -- retriever training (sub-dataset scope enforced,
+  reference ``train.py:106-147``)
+* ``eval_retriever``  -- multi-split eval + g_agent materialization + top-k
+  edge artifacts (``eval.py:268-308`` + callbacks)
+* ``train_gflownet``  -- GFlowNet training (requires retriever ckpt,
+  ``train.py:53-84``)
+* ``eval_gflownet``   -- rollout artifacts + answer_hit@k metrics
+* ``bfs_chains``      -- non-learned BFS chain baseline artifact
+* ``reasoner``        -- LLM / oracle answering + semantic dissipation
+
+Every task writes ``metrics.json`` + a config snapshot into a timestamped run
+dir (the reference's Hydra run-dir convention).
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import pathlib
+import sys
+from typing import Any, Callable, Iterable
+
+import numpy as np
+
+from evi_rag_tpu.utils.config import ConfigError, get_dotted, load_config
+from evi_rag_tpu.utils.logging import MetricLogger, get_logger, save_metrics_json
+from evi_rag_tpu.utils.run_context import make_run_dir, task_wrapper
+
+log = get_logger("evi_rag_tpu.cli")
+
+DEFAULT_K_GRID = (1, 10, 25, 50, 100, 200, 300, 400, 500)
+
+
+# --------------------------------------------------------------------------- #
+# dataset loading
+# --------------------------------------------------------------------------- #
+
+def _load_split(cfg: dict, split: str):
+    """-> (samples, entity_emb, relation_emb, question_emb)."""
+    ds = cfg.get("dataset", {})
+    source = ds.get("source", "synthetic")
+    if source == "synthetic":
+        from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+
+        seed = {"train": 0, "validation": 1, "test": 2}.get(split, 3) + int(ds.get("seed", 0))
+        synth = make_synthetic_dataset(
+            num_samples=int(ds.get("num_samples", 64)),
+            emb_dim=int(ds.get("emb_dim", 64)),
+            max_nodes=int(ds.get("max_nodes", 24)),
+            seed=seed,
+        )
+        return synth.samples, synth.entity_emb, synth.relation_emb, synth.question_emb
+    if source == "normalized":
+        from evi_rag_tpu.data.pipeline import load_retrieval_split
+
+        root = pathlib.Path(ds["normalized_dir"])
+        filter_ids = None
+        if ds.get("filter"):
+            payload = json.loads((root / ds["filter"]).read_text())
+            filter_ids = set(payload["sample_ids"])
+        samples, q_emb = load_retrieval_split(
+            root, split, filter_ids=filter_ids,
+            sample_limit=ds.get("sample_limit"), seed=int(ds.get("seed", 0)),
+        )
+        entity_emb = np.load(root / "embeddings" / "entity_embeddings.npy")
+        relation_emb = np.load(root / "embeddings" / "relation_embeddings.npy")
+        return samples, entity_emb, relation_emb, q_emb
+    raise ConfigError(f"unknown dataset.source {source!r}")
+
+
+def _vocab_maps(cfg: dict) -> tuple[dict[int, str], dict[int, str]]:
+    """entity_id->label, relation_id->label from the normalized vocab parquet."""
+    ds = cfg.get("dataset", {})
+    if ds.get("source") != "normalized":
+        return {}, {}
+    import pyarrow.parquet as pq
+
+    root = pathlib.Path(ds["normalized_dir"])
+    ents = pq.read_table(root / "entity_vocab.parquet").to_pylist()
+    rels = pq.read_table(root / "relation_vocab.parquet").to_pylist()
+    return (
+        {int(e["entity_id"]): str(e["label"]) for e in ents},
+        {int(r["relation_id"]): str(r["label"]) for r in rels},
+    )
+
+
+def _retriever_model(cfg: dict):
+    from evi_rag_tpu.models.retriever import Retriever
+
+    m = cfg.get("retriever", {}).get("model", {})
+    return Retriever(
+        emb_dim=int(m.get("emb_dim", 64)),
+        hidden_dim=int(m.get("hidden_dim", 64)),
+        dde_rounds=int(m.get("dde_rounds", 2)),
+        dde_reverse_rounds=int(m.get("dde_reverse_rounds", 2)),
+        dropout_p=float(m.get("dropout_p", 0.1)),
+        direction_mode=str(m.get("direction_mode", "bidirectional")),
+        hide_seek_enabled=bool(m.get("hide_seek", {}).get("enabled", False)),
+        hide_seek_p_near=float(m.get("hide_seek", {}).get("p_near", 0.0)),
+        hide_seek_p_far=float(m.get("hide_seek", {}).get("p_far", 0.0)),
+        hide_seek_bias_near=float(m.get("hide_seek", {}).get("bias_near", 0.0)),
+        hide_seek_bias_far=float(m.get("hide_seek", {}).get("bias_far", 0.0)),
+    )
+
+
+def _retriever_train_cfg(cfg: dict):
+    from evi_rag_tpu.models.losses import RetrieverLossConfig
+    from evi_rag_tpu.train.optim import OptimizerConfig
+    from evi_rag_tpu.train.retriever_trainer import RetrieverTrainConfig
+
+    t = cfg.get("retriever", {}).get("train", {})
+    o = t.get("optimizer", {})
+    lo = t.get("loss", {})
+    return RetrieverTrainConfig(
+        loss=RetrieverLossConfig(
+            infonce_temperature=float(lo.get("infonce_temperature", 1.0)),
+            infonce_weight=float(lo.get("infonce_weight", 1.0)),
+            bce_weight=float(lo.get("bce_weight", 0.0)),
+            edge_weight_near=float(lo.get("edge_weight_near", 1.0)),
+            edge_weight_bridge=float(lo.get("edge_weight_bridge", 1.0)),
+        ),
+        optimizer=OptimizerConfig(
+            name=str(o.get("name", "adamw")),
+            learning_rate=float(o.get("learning_rate", 1e-3)),
+            weight_decay=float(o.get("weight_decay", 0.0)),
+            grad_clip_norm=o.get("grad_clip_norm", 1.0),
+            schedule=str(o.get("schedule", "constant")),
+            warmup_steps=int(o.get("warmup_steps", 0)),
+            total_steps=int(o.get("total_steps", 10_000)),
+        ),
+        max_epochs=int(t.get("max_epochs", 5)),
+        monitor=str(t.get("monitor", "answer/reachability@100")),
+        monitor_mode=str(t.get("monitor_mode", "max")),
+        patience=int(t.get("patience", 5)),
+        k_values=tuple(int(k) for k in t.get("k_values", DEFAULT_K_GRID)),
+    )
+
+
+def _enforce_sub_training_scope(cfg: dict, task: str) -> None:
+    """Retriever/GFlowNet训练 must run on the filtered sub dataset
+    (reference ``_enforce_sub_training_scope``, ``train.py:106-147``)."""
+    ds = cfg.get("dataset", {})
+    if ds.get("source") != "normalized":
+        return
+    name = str(ds.get("name", ""))
+    if not name.endswith("-sub"):
+        raise ConfigError(
+            f"{task} requires a '-sub' dataset variant (got {name!r}); "
+            "pass dataset=<family>-sub"
+        )
+    if not ds.get("filter"):
+        raise ConfigError(f"{task} requires dataset.filter (sub/nonzero filter json)")
+
+
+# --------------------------------------------------------------------------- #
+# tasks
+# --------------------------------------------------------------------------- #
+
+@task_wrapper
+def task_build(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    from evi_rag_tpu.data.pipeline import PipelineConfig, TextEntityPolicy, build_pipeline
+    from evi_rag_tpu.data.text_encoder import FlaxHFTextEncoder, HashTextEncoder
+
+    b = cfg["build"]
+    enc_cfg = b.get("encoder", {})
+    if enc_cfg.get("kind", "hash") == "hash":
+        encoder = HashTextEncoder(dim=int(enc_cfg.get("dim", 256)))
+    else:
+        encoder = FlaxHFTextEncoder(
+            enc_cfg["model_path"], max_length=int(enc_cfg.get("max_length", 64))
+        )
+    tp = b.get("text_policy", {})
+    res = build_pipeline(
+        PipelineConfig(
+            dataset=str(b["dataset"]),
+            raw_root=str(b["raw_root"]),
+            out_dir=str(b["out_dir"]),
+            text_policy=TextEntityPolicy(
+                mode=str(tp.get("mode", "all")), exclude_regex=tp.get("exclude_regex")
+            ),
+            path_mode=str(b.get("path_mode", "undirected")),
+        ),
+        encoder,
+    )
+    metrics = {
+        "num_entities": res.num_entities,
+        "num_relations": res.num_relations,
+        "num_text_entities": res.num_text_entities,
+        **{f"count/{k}/{s}": v for k, d in res.counts.items() for s, v in d.items()},
+    }
+    save_metrics_json(run_dir / "metrics.json", metrics)
+    return metrics
+
+
+@task_wrapper
+def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    import jax
+
+    from evi_rag_tpu.data.feeder import collate_retriever, fixed_bucket_for, iter_stacked_batches
+    from evi_rag_tpu.train.checkpoint import save_checkpoint
+    from evi_rag_tpu.train.retriever_trainer import fit, make_eval_step, evaluate
+
+    _enforce_sub_training_scope(cfg, "train_retriever")
+    model = _retriever_model(cfg)
+    tcfg = _retriever_train_cfg(cfg)
+    t = cfg.get("retriever", {}).get("train", {})
+    num_shards = int(t.get("num_shards", 1))
+    per_shard = int(t.get("per_shard_batch", 8))
+
+    train_samples, ent, rel, q_train = _load_split(cfg, "train")
+    val_samples, _, _, q_val = _load_split(cfg, "validation")
+    bucket = fixed_bucket_for(list(train_samples) + list(val_samples), per_shard)
+
+    def train_batches(epoch: int):
+        return iter_stacked_batches(
+            train_samples, num_shards=num_shards, per_shard_batch=per_shard,
+            entity_emb=ent, relation_emb=rel, question_emb=q_train,
+            bucket=bucket, seed=epoch,
+        )
+
+    def val_batches():
+        for i in range(0, len(val_samples), per_shard):
+            yield collate_retriever(
+                val_samples[i : i + per_shard], entity_emb=ent, relation_emb=rel,
+                question_emb=q_val, bucket=bucket,
+            )
+
+    best_params, info = fit(model, tcfg, train_batches, val_batches, seed=int(t.get("seed", 0)))
+    mlog = MetricLogger(run_dir)
+    for h in info["history"]:
+        mlog.log({**h["val"], "train_loss": h["train_loss"]}, step=h["epoch"])
+
+    ckpt_dir = pathlib.Path(t.get("ckpt_dir", run_dir / "ckpt"))
+    digest = save_checkpoint(
+        ckpt_dir / "best",
+        best_params,
+        meta={"parity_meta": model.parity_meta(), "monitor": tcfg.monitor, "score": info["best_score"]},
+    )
+    save_checkpoint(
+        ckpt_dir / "last",
+        info["final_state"].params,
+        meta={"parity_meta": model.parity_meta()},
+        step=int(info["final_state"].step),
+    )
+    eval_step = make_eval_step(model, tcfg)
+    final = evaluate(best_params, eval_step, val_batches())
+    metrics = {**final, "best_ckpt_sha256": digest, "epochs": len(info["history"])}
+    save_metrics_json(run_dir / "metrics.json", metrics)
+    log.info("train_retriever done: %s=%.4f", tcfg.monitor, final.get(tcfg.monitor, float("nan")))
+    return metrics
+
+
+def _load_retriever_ckpt(cfg: dict, model) -> tuple[Any, dict]:
+    import jax
+
+    from evi_rag_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = get_dotted(cfg, "retriever.ckpt")
+    if not ckpt:
+        raise ConfigError("retriever.ckpt is required")
+    tree, meta = load_checkpoint(ckpt)
+    return tree["params"], meta
+
+
+@task_wrapper
+def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    from evi_rag_tpu.data.feeder import collate_retriever, fixed_bucket_for
+    from evi_rag_tpu.data.g_agent import AgentSettings, build_agent_sample
+    from evi_rag_tpu.eval.artifacts import (
+        save_agent_store,
+        topk_record_for_sample,
+        write_topk_edges,
+    )
+    from evi_rag_tpu.train.retriever_trainer import evaluate, make_eval_step
+
+    model = _retriever_model(cfg)
+    params, _meta = _load_retriever_ckpt(cfg, model)
+    tcfg = _retriever_train_cfg(cfg)
+    e = cfg.get("eval", {})
+    splits = list(e.get("splits", ["validation", "test"]))
+    artifacts_dir = pathlib.Path(e.get("artifacts_dir", run_dir / "artifacts"))
+    ag = e.get("g_agent", {})
+    settings = AgentSettings(
+        edge_top_k=int(ag.get("edge_top_k", 500)),
+        max_hops=int(ag.get("max_hops", 3)),
+        score_mode=str(ag.get("score_mode", "node_softmax")),
+        allow_empty_answer=bool(ag.get("allow_empty_answer", True)),
+        start_keep_ratio=float(ag.get("start_keep_ratio", 0.25)),
+        start_min_edges=int(ag.get("start_min_edges", 1)),
+    )
+    eval_step = make_eval_step(model, tcfg)
+    per_batch = int(e.get("batch_size", 8))
+
+    all_metrics: dict[str, Any] = {}
+    for split in splits:
+        samples, ent, rel, q = _load_split(cfg, split)
+        if not samples:
+            continue
+        bucket = fixed_bucket_for(samples, per_batch)
+
+        def batches():
+            for i in range(0, len(samples), per_batch):
+                yield collate_retriever(
+                    samples[i : i + per_batch], entity_emb=ent, relation_emb=rel,
+                    question_emb=q, bucket=bucket,
+                )
+
+        split_metrics = evaluate(params, eval_step, batches())
+        all_metrics.update({f"{split}/{k}": v for k, v in split_metrics.items()})
+
+        # Per-sample scores for artifact generation.
+        agent_samples = []
+        topk_records = []
+        i = 0
+        for batch in batches():
+            res = eval_step(params, batch)
+            scores = np.asarray(res["logits"])
+            eb = np.asarray(batch.graph.edge_batch)
+            emask = np.asarray(batch.graph.edge_mask)
+            chunk = samples[i : i + per_batch]
+            for g, s in enumerate(chunk):
+                sel = np.nonzero((eb == g) & emask)[0]
+                s_scores = scores[sel]
+                ent_ids = (
+                    s.node_entity_ids
+                    if s.node_entity_ids is not None
+                    else np.arange(s.num_nodes, dtype=np.int64)
+                )
+                ans_ids = (
+                    s.answer_entity_ids
+                    if s.answer_entity_ids is not None
+                    else ent_ids[s.answer_locals]
+                )
+                a = build_agent_sample(
+                    sample_id=s.sample_id,
+                    question_id=s.question_id,
+                    heads=s.edge_index[0],
+                    tails=s.edge_index[1],
+                    relations=s.edge_relations,
+                    labels=s.edge_labels.astype(np.float32),
+                    scores=s_scores,
+                    node_entity_ids=ent_ids,
+                    node_embedding_ids=s.node_embedding_ids,
+                    start_entity_ids=ent_ids[s.topic_locals],
+                    answer_entity_ids=ans_ids,
+                    settings=settings,
+                )
+                if a is not None:
+                    agent_samples.append(a)
+                topk_records.append(
+                    topk_record_for_sample(
+                        sample_id=s.sample_id,
+                        scores=s_scores,
+                        logits_fwd=s_scores,
+                        logits_bwd=s_scores,
+                        heads_global=ent_ids[s.edge_index[0]],
+                        rels=np.asarray(s.edge_relations),
+                        tails_global=ent_ids[s.edge_index[1]],
+                        k_values=tcfg.k_values,
+                    )
+                )
+            i += per_batch
+        save_agent_store(
+            agent_samples, artifacts_dir / "g_agent" / split, split=split,
+            settings_meta={"edge_top_k": settings.edge_top_k, "max_hops": settings.max_hops},
+        )
+        write_topk_edges(
+            topk_records, artifacts_dir / "eval_retriever", split=split, k_values=tcfg.k_values
+        )
+        all_metrics[f"{split}/num_agent_samples"] = len(agent_samples)
+    save_metrics_json(run_dir / "metrics.json", all_metrics)
+    return all_metrics
+
+
+def _gfn_cfg(cfg: dict):
+    from evi_rag_tpu.models.gflownet.reward import RewardConfig
+    from evi_rag_tpu.train.gflownet_trainer import GFlowNetConfig
+    from evi_rag_tpu.train.optim import OptimizerConfig
+
+    g = cfg.get("gflownet", {})
+    r = g.get("reward", {})
+    o = g.get("optimizer", {})
+    return GFlowNetConfig(
+        hidden_dim=int(g.get("hidden_dim", 64)),
+        max_steps=int(g.get("max_steps", 3)),
+        stop_on_answer=bool(g.get("stop_on_answer", True)),
+        policy_temperature=float(g.get("policy_temperature", 1.0)),
+        num_train_rollouts=int(g.get("num_train_rollouts", 4)),
+        reward=RewardConfig(
+            success_reward=float(r.get("success_reward", 1.0)),
+            failure_reward=float(r.get("failure_reward", 1e-4)),
+            semantic_coef=float(r.get("semantic_coef", 1.0)),
+            length_coef=float(r.get("length_coef", 1.0)),
+        ),
+        bc_weight=float(g.get("bc_weight", 0.0)),
+        bc_hold_ratio=float(g.get("bc_hold_ratio", 0.0)),
+        bc_decay_ratio=float(g.get("bc_decay_ratio", 0.0)),
+        total_steps=int(g.get("total_steps", 1000)),
+        eval_rollout_prefixes=tuple(int(k) for k in g.get("eval_rollout_prefixes", (1, 10, 25, 50, 100))),
+        optimizer=OptimizerConfig(
+            name=str(o.get("name", "adamw")),
+            learning_rate=float(o.get("learning_rate", 1e-4)),
+            grad_clip_norm=o.get("grad_clip_norm", 1.0),
+        ),
+        max_epochs=int(g.get("max_epochs", 5)),
+        patience=int(g.get("patience", 5)),
+        dropout=float(g.get("dropout", 0.1)),
+    )
+
+
+def _agent_batches_fn(cfg: dict, split: str, batch_size: int):
+    from evi_rag_tpu.data.feeder import collate_agent, fixed_agent_bucket
+    from evi_rag_tpu.eval.artifacts import load_agent_store
+
+    e = cfg.get("gflownet", {})
+    store_dir = pathlib.Path(e["g_agent_dir"]) / split
+    drop = split == "train"  # train always drops unreachable
+    agent_samples = load_agent_store(store_dir, drop_unreachable=drop)
+    if not agent_samples:
+        raise ConfigError(f"no agent samples in {store_dir}")
+    _, ent, rel, q = _load_split(cfg, split)
+    bucket = fixed_agent_bucket(agent_samples, batch_size)
+
+    def batches(epoch: int = 0):
+        order = np.arange(len(agent_samples))
+        if split == "train":
+            np.random.default_rng(epoch).shuffle(order)
+        for i in range(0, len(order), batch_size):
+            chunk = [agent_samples[j] for j in order[i : i + batch_size]]
+            yield collate_agent(chunk, entity_emb=ent, relation_emb=rel, question_emb=q, bucket=bucket)
+
+    return agent_samples, batches
+
+
+@task_wrapper
+def task_train_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    from evi_rag_tpu.train.checkpoint import (
+        export_retriever_features,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from evi_rag_tpu.train.gflownet_trainer import fit_gflownet
+
+    _enforce_sub_training_scope(cfg, "train_gflownet")
+    ckpt = get_dotted(cfg, "retriever.ckpt")
+    if not ckpt:
+        raise ConfigError("train_gflownet requires retriever.ckpt (reference train.py:53-84)")
+    tree, rmeta = load_checkpoint(ckpt)
+    bundle = export_retriever_features(tree["params"], rmeta["parity_meta"])
+    gcfg = _gfn_cfg(cfg)
+    bs = int(cfg.get("gflownet", {}).get("batch_size", 8))
+
+    _, train_batches = _agent_batches_fn(cfg, "train", bs)
+    _, val_batches = _agent_batches_fn(cfg, "validation", bs)
+
+    best_params, info = fit_gflownet(
+        gcfg, bundle, train_batches, lambda: val_batches(), seed=int(cfg.get("gflownet", {}).get("seed", 0))
+    )
+    ckpt_dir = pathlib.Path(cfg.get("gflownet", {}).get("ckpt_dir", run_dir / "ckpt"))
+    # Re-export retriever_meta incl. the retriever ckpt digest so eval can
+    # deferred-init without the original file (reference gflownet_module.py:109-124).
+    retriever_meta = {
+        "parity_meta": rmeta["parity_meta"],
+        "retriever_ckpt_sha256": rmeta.get("params_sha256"),
+    }
+    save_checkpoint(
+        ckpt_dir / "best", {"gflownet": best_params, "retriever_bundle": bundle},
+        meta={"retriever_meta": retriever_meta, "score": info["best_score"]},
+    )
+    mlog = MetricLogger(run_dir)
+    for h in info["history"]:
+        mlog.log({**h["val"], "train_loss": h["train_loss"]}, step=h["epoch"])
+    metrics = {"best_score": info["best_score"], "epochs": len(info["history"])}
+    if info["history"]:
+        metrics.update({f"final/{k}": v for k, v in info["history"][-1]["val"].items()})
+    save_metrics_json(run_dir / "metrics.json", metrics)
+    return metrics
+
+
+@task_wrapper
+def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    import jax
+
+    from evi_rag_tpu.eval.artifacts import rollout_record_for_sample, write_rollout_records
+    from evi_rag_tpu.models.gflownet.actor import rollout as run_rollout
+    from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch
+    from evi_rag_tpu.train.checkpoint import load_checkpoint
+    from evi_rag_tpu.train.gflownet_trainer import (
+        build_modules,
+        evaluate_gflownet,
+        make_gfn_eval_step,
+    )
+    from evi_rag_tpu.data.feeder import collate_agent, fixed_agent_bucket
+    from evi_rag_tpu.eval.artifacts import load_agent_store
+
+    ckpt = get_dotted(cfg, "gflownet.ckpt")
+    if not ckpt:
+        raise ConfigError("eval_gflownet requires gflownet.ckpt")
+    tree, meta = load_checkpoint(ckpt)
+    params = tree["params"]["gflownet"]
+    bundle = tree["params"]["retriever_bundle"]
+    gcfg = _gfn_cfg(cfg)
+    modules = build_modules(gcfg)
+    bs = int(cfg.get("gflownet", {}).get("batch_size", 8))
+    num_rollouts = int(cfg.get("gflownet", {}).get("eval_rollouts", max(gcfg.eval_rollout_prefixes)))
+    splits = list(cfg.get("eval", {}).get("splits", ["validation", "test"]))
+    artifacts_dir = pathlib.Path(cfg.get("eval", {}).get("artifacts_dir", run_dir / "artifacts"))
+    id2e, id2r = _vocab_maps(cfg)
+
+    eval_step = make_gfn_eval_step(modules, gcfg, bundle, num_rollouts=num_rollouts)
+    all_metrics: dict[str, Any] = {}
+    for split in splits:
+        agent_samples, batches = _agent_batches_fn(cfg, split, bs)
+        m = evaluate_gflownet(
+            params, eval_step, batches(), rng=jax.random.key(7), ks=gcfg.eval_rollout_prefixes
+        )
+        all_metrics.update({f"{split}/{k}": v for k, v in m.items()})
+
+        # Rollout artifact records (greedy-free sampling, local edge ids).
+        records = []
+        idx = 0
+        for batch in batches():
+            embed = embed_agent_batch(bundle, batch, edge_score_proj=params["edge_score_proj"])
+            ros = []
+            for r in range(num_rollouts):
+                ro = run_rollout(
+                    policy=modules.policy, state_encoder=modules.state_encoder,
+                    policy_params=params["policy"], encoder_params=params["state_encoder"],
+                    batch=batch, embed=embed, rng=jax.random.key(10_000 + 97 * idx + r),
+                    config=gcfg.actor,
+                )
+                ros.append(ro)
+            eptr = np.asarray(batch.graph.edge_ptr)
+            n_real = int(np.asarray(batch.graph.graph_mask).sum())
+            for g in range(n_real):
+                s = agent_samples[idx + g]
+                acts = np.stack(
+                    [np.asarray(ro["actions_seq"][g]) for ro in ros]
+                )
+                local = np.where(acts >= 0, acts - eptr[g], -1)
+                dirs = np.stack([np.asarray(ro["directions_seq"][g]) for ro in ros])
+                hits = np.asarray([bool(ro["answer_hits"][g]) for ro in ros])
+                records.append(
+                    rollout_record_for_sample(
+                        s, actions_local=local, directions=dirs, answer_hits=hits,
+                        id2entity=id2e or None, id2relation=id2r or None,
+                    )
+                )
+            idx += n_real
+        write_rollout_records(
+            records, artifacts_dir / "eval_gflownet", split=split, num_rollouts=num_rollouts
+        )
+    save_metrics_json(run_dir / "metrics.json", all_metrics)
+    return all_metrics
+
+
+@task_wrapper
+def task_bfs_chains(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    from evi_rag_tpu.data.chains import ChainSettings, build_bfs_candidate_chains, textualize_chain
+    from evi_rag_tpu.eval.artifacts import load_agent_store, write_manifest
+
+    b = cfg.get("bfs_chains", {})
+    settings = ChainSettings(
+        max_chain_length=int(b.get("max_chain_length", 3)),
+        max_chains_per_sample=int(b.get("max_chains_per_sample", 100)),
+        allow_backward=bool(b.get("allow_backward", True)),
+    )
+    splits = list(cfg.get("eval", {}).get("splits", ["test"]))
+    artifacts_dir = pathlib.Path(cfg.get("eval", {}).get("artifacts_dir", run_dir / "artifacts"))
+    id2e, id2r = _vocab_maps(cfg)
+    out_metrics = {}
+    for split in splits:
+        store_dir = pathlib.Path(cfg["gflownet"]["g_agent_dir"]) / split
+        samples = load_agent_store(store_dir)
+        out_dir = artifacts_dir / "eval_bfs"
+        out_dir.mkdir(parents=True, exist_ok=True)
+        path = out_dir / f"{split}.jsonl"
+        n = 0
+        with path.open("w") as f:
+            for s in samples:
+                chains = build_bfs_candidate_chains(
+                    num_nodes=s.num_nodes, heads=s.edge_head_locals, tails=s.edge_tail_locals,
+                    relations=s.edge_relations, scores=s.edge_scores,
+                    node_entity_ids=s.node_entity_ids, start_nodes=s.start_node_locals,
+                    settings=settings,
+                )
+                if id2e:
+                    for c in chains:
+                        c["chain_text"] = textualize_chain(c, id2entity=id2e, id2relation=id2r)
+                rec = {
+                    "sample_id": s.sample_id,
+                    "candidate_chains": [
+                        {k: v for k, v in c.items() if k != "signature"} for c in chains
+                    ],
+                }
+                f.write(json.dumps(rec) + "\n")
+                n += 1
+        write_manifest(out_dir, artifact="eval_bfs", filename=path.name, split=split)
+        out_metrics[f"{split}/num_samples"] = n
+    save_metrics_json(run_dir / "metrics.json", out_metrics)
+    return out_metrics
+
+
+@task_wrapper
+def task_reasoner(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    from evi_rag_tpu.eval.artifacts import load_agent_store
+    from evi_rag_tpu.eval.llm_client import LLMConfig, init_llm
+    from evi_rag_tpu.eval.reasoner import (
+        ReasonerSettings,
+        build_triplet_records,
+        run_reasoner,
+    )
+
+    r = cfg.get("reasoner", {})
+    mode = str(r.get("mode", "oracle"))
+    splits = list(cfg.get("eval", {}).get("splits", ["test"]))
+    artifacts_dir = pathlib.Path(cfg.get("eval", {}).get("artifacts_dir", run_dir / "artifacts"))
+    id2e, id2r = _vocab_maps(cfg)
+    settings = ReasonerSettings(
+        window_k=tuple(int(k) for k in r.get("window_k", DEFAULT_K_GRID)),
+        token_budget=r.get("token_budget"),
+        path_limit=int(r.get("path_limit", 10)),
+    )
+    all_metrics: dict[str, Any] = {}
+    for split in splits:
+        samples = load_agent_store(pathlib.Path(cfg["gflownet"]["g_agent_dir"]) / split)
+        if mode == "oracle":
+            oracle_inputs = []
+            for s in samples:
+                order = np.argsort(-s.edge_scores, kind="stable")
+                oracle_inputs.append(
+                    {
+                        "head_entity_ids": s.node_entity_ids[s.edge_head_locals[order]],
+                        "tail_entity_ids": s.node_entity_ids[s.edge_tail_locals[order]],
+                        "answer_entity_ids": s.answer_entity_ids,
+                    }
+                )
+            m = run_reasoner(
+                [], mode="oracle", oracle_inputs=oracle_inputs,
+                k_values=[int(k) for k in r.get("k_values", (1, 10, 25, 50, 100))],
+            )
+        else:
+            llm = init_llm(
+                LLMConfig(
+                    model_name=str(r.get("model_name", "mock")),
+                    backend=str(r.get("backend", "mock")),
+                    temperature=float(r.get("temperature", 0.0)),
+                    mock_response=str(r.get("mock_response", '{"answers": []}')),
+                )
+            )
+            # Question text + gold answers from the normalized questions parquet.
+            questions = _question_lookup(cfg)
+            records = []
+            for s in samples:
+                qtext, golds = questions.get(s.sample_id, (s.sample_id, None))
+                golds = golds or [id2e.get(int(a), str(a)) for a in s.answer_entity_ids]
+                records.extend(
+                    build_triplet_records(
+                        s, question_text=qtext, gold_answers=golds,
+                        id2entity=id2e or {int(i): str(i) for i in s.node_entity_ids},
+                        id2relation=id2r or {int(i): str(i) for i in np.unique(s.edge_relations)},
+                        settings=settings,
+                    )
+                )
+            m = run_reasoner(
+                records, mode="llm", llm=llm,
+                output_path=artifacts_dir / "reasoner" / f"{split}.jsonl",
+            )
+        all_metrics.update({f"{split}/{k}": v for k, v in m.items()})
+    save_metrics_json(run_dir / "metrics.json", all_metrics)
+    return all_metrics
+
+
+def _question_lookup(cfg: dict) -> dict[str, tuple[str, list[str] | None]]:
+    ds = cfg.get("dataset", {})
+    if ds.get("source") != "normalized":
+        return {}
+    import pyarrow.parquet as pq
+
+    root = pathlib.Path(ds["normalized_dir"])
+    rows = pq.read_table(root / "questions.parquet").to_pylist()
+    return {r["graph_id"]: (r["question"], list(r.get("a_entity") or []) or None) for r in rows}
+
+
+TASKS: dict[str, Callable] = {
+    "build": task_build,
+    "train_retriever": task_train_retriever,
+    "eval_retriever": task_eval_retriever,
+    "train_gflownet": task_train_gflownet,
+    "eval_gflownet": task_eval_gflownet,
+    "bfs_chains": task_bfs_chains,
+    "reasoner": task_reasoner,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="evi-rag-tpu")
+    parser.add_argument("task", choices=sorted(TASKS))
+    parser.add_argument("--configs-dir", default="configs")
+    parser.add_argument("--config", default=None, help="base config name (defaults to the task name)")
+    parser.add_argument("overrides", nargs="*", help="key=value overrides")
+    args = parser.parse_args(argv)
+
+    config_name = args.config or args.task
+    cfg = load_config(args.configs_dir, config_name, args.overrides)
+    cfg.setdefault("task_name", args.task)
+    run_dir = make_run_dir(cfg)
+    log.info("task=%s run_dir=%s", args.task, run_dir)
+    TASKS[args.task](cfg, run_dir=run_dir)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
