@@ -650,12 +650,15 @@ def task_reasoner(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                 k_values=[int(k) for k in r.get("k_values", (1, 10, 25, 50, 100))],
             )
         else:
+            mock_resp = r.get("mock_response", '{"answers": []}')
+            if not isinstance(mock_resp, str):
+                mock_resp = json.dumps(mock_resp)  # YAML may parse the JSON into a dict
             llm = init_llm(
                 LLMConfig(
                     model_name=str(r.get("model_name", "mock")),
                     backend=str(r.get("backend", "mock")),
                     temperature=float(r.get("temperature", 0.0)),
-                    mock_response=str(r.get("mock_response", '{"answers": []}')),
+                    mock_response=mock_resp,
                 )
             )
             # Question text + gold answers from the normalized questions parquet.

@@ -102,8 +102,7 @@ def test_full_pipeline_synthetic(tmp_path):
     assert "validation/answer_hit@10" in m6
     m7, _ = _run(
         "reasoner",
-        common + ["eval.splits=[validation]", "reasoner=mock",
-                  'reasoner.mock_response={"answers": []}'],
+        common + ["eval.splits=[validation]", "reasoner=mock"],
         tmp_path,
     )
     assert m7["validation/results/total"] > 0

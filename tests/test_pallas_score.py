@@ -1,0 +1,74 @@
+"""Fused Pallas score kernel vs the XLA reference path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bench import build_inputs, make_bundle
+from evi_rag_tpu.ops.pallas_score import pallas_query_topk, pallas_score_bidirectional
+from evi_rag_tpu.ops.query import TripleIndex, query_topk, score_all
+
+D, H, S, M = 128, 128, 20, 1024
+
+INTERPRET = jax.default_backend() == "cpu"
+
+
+@pytest.fixture(scope="module")
+def setup():
+    bundle = jax.tree.map(jnp.asarray, make_bundle(D, H, S, seed=1))
+    ins = build_inputs(M, D, S, batch=2, seed=1)
+    index = TripleIndex(
+        head_repr=jnp.asarray(ins["head"]),
+        rel_repr=jnp.asarray(ins["rel"]),
+        tail_repr=jnp.asarray(ins["tail"]),
+        struct_raw=jnp.asarray(ins["struct"]),
+    )
+    return bundle, index, jnp.asarray(ins["q"])
+
+
+def test_kernel_matches_xla_scores(setup):
+    bundle, index, q = setup
+    ref = np.asarray(score_all(bundle, q[:1], index, dtype=jnp.bfloat16)[0])
+    got = np.asarray(
+        pallas_score_bidirectional(
+            bundle, q[0], index.head_repr, index.rel_repr, index.tail_repr,
+            index.struct_raw, tile=256, interpret=INTERPRET,
+        )
+    )
+    scale = np.abs(ref).mean()
+    abs_err = np.abs(ref - got)
+    # bf16 noise scales with the score magnitude; compare against the
+    # distribution scale, not per-element values near zero.
+    assert np.quantile(abs_err, 0.999) < 0.05 * scale + 0.02
+    assert abs_err.max() < 0.2 * scale + 0.05
+    assert np.corrcoef(ref, got)[0, 1] > 0.999
+
+
+def test_kernel_handles_nonmultiple_tile(setup):
+    bundle, index, q = setup
+    sub = TripleIndex(
+        head_repr=index.head_repr[:777],
+        rel_repr=index.rel_repr[:777],
+        tail_repr=index.tail_repr[:777],
+        struct_raw=index.struct_raw[:777],
+    )
+    got = np.asarray(
+        pallas_score_bidirectional(
+            bundle, q[0], sub.head_repr, sub.rel_repr, sub.tail_repr,
+            sub.struct_raw, tile=256, interpret=INTERPRET,
+        )
+    )
+    assert got.shape == (777,)
+    assert np.isfinite(got).all()
+
+
+def test_topk_agreement(setup):
+    bundle, index, q = setup
+    v_ref, i_ref = query_topk(bundle, q, index, k=20, chunk=256)
+    v_got, i_got = pallas_query_topk(bundle, q, index, k=20, tile=256, interpret=INTERPRET)
+    # Same candidate sets up to bf16 score jitter at the boundary: require
+    # >= 90% id overlap and score agreement on the intersection.
+    for b in range(q.shape[0]):
+        inter = set(np.asarray(i_ref[b]).tolist()) & set(np.asarray(i_got[b]).tolist())
+        assert len(inter) >= 18
