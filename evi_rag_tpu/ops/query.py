@@ -176,6 +176,63 @@ def query_topk(
     return jax.vmap(one_query)(q_emb)
 
 
+def query_topk_sharded(
+    bundle: dict[str, Any],
+    q_emb: jax.Array,       # [B, D]
+    index: TripleIndex,     # candidate axis sharded over the mesh data axis
+    *,
+    mesh,
+    k: int,
+    chunk: int = 2048,
+    bidirectional: bool = True,
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Million-triple fan-out: shard the candidate axis across the mesh.
+
+    Each device scores its local candidate shard and keeps a local top-k;
+    the k-merge is one tiny ``all_gather`` of [k] rows over ICI -- the
+    natural "model-parallel" axis for this workload (SURVEY §2c).  Candidate
+    ids returned are global.  ``index`` arrays must be sharded with
+    ``NamedSharding(mesh, P('data'))`` on the leading axis (equal shards).
+    """
+    from functools import partial as _partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    m = index.num_candidates
+    if m % n_dev != 0:
+        raise ValueError(f"candidate count {m} must divide evenly over {n_dev} devices")
+    local_m = m // n_dev
+
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    def run(q, h, r, t, s):
+        local = TripleIndex(head_repr=h, rel_repr=r, tail_repr=t, struct_raw=s)
+        v, i = query_topk(
+            bundle, q, local, k=k, chunk=min(chunk, local_m),
+            bidirectional=bidirectional, dtype=dtype,
+        )
+        i = i + jax.lax.axis_index(axis).astype(jnp.int32) * local_m
+        vs = jax.lax.all_gather(v, axis, axis=0)      # [n_dev, B, k]
+        is_ = jax.lax.all_gather(i, axis, axis=0)
+        b = q.shape[0]
+        vs = jnp.transpose(vs, (1, 0, 2)).reshape(b, -1)
+        is_ = jnp.transpose(is_, (1, 0, 2)).reshape(b, -1)
+        top_v, pos = jax.lax.top_k(vs, k)
+        top_i = jnp.take_along_axis(is_, pos, axis=1)
+        return top_v, top_i
+
+    return run(q_emb, index.head_repr, index.rel_repr, index.tail_repr, index.struct_raw)
+
+
 def score_all(
     bundle: dict[str, Any],
     q_emb: jax.Array,
