@@ -623,6 +623,7 @@ def task_reasoner(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
 
     r = cfg.get("reasoner", {})
     mode = str(r.get("mode", "oracle"))
+    prompt_source = str(r.get("prompt_source", "triplets"))  # triplets | paths
     splits = list(cfg.get("eval", {}).get("splits", ["test"]))
     artifacts_dir = pathlib.Path(cfg.get("eval", {}).get("artifacts_dir", run_dir / "artifacts"))
     id2e, id2r = _vocab_maps(cfg)
@@ -664,17 +665,50 @@ def task_reasoner(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             # Question text + gold answers from the normalized questions parquet.
             questions = _question_lookup(cfg)
             records = []
-            for s in samples:
-                qtext, golds = questions.get(s.sample_id, (s.sample_id, None))
-                golds = golds or [id2e.get(int(a), str(a)) for a in s.answer_entity_ids]
-                records.extend(
-                    build_triplet_records(
-                        s, question_text=qtext, gold_answers=golds,
-                        id2entity=id2e or {int(i): str(i) for i in s.node_entity_ids},
-                        id2relation=id2r or {int(i): str(i) for i in np.unique(s.edge_relations)},
-                        settings=settings,
-                    )
+            if prompt_source == "paths":
+                from evi_rag_tpu.eval.artifacts import ROLLOUT_ARTIFACT, validate_manifest
+                from evi_rag_tpu.eval.reasoner import build_path_records
+
+                chains_dir = pathlib.Path(
+                    r.get("chains_dir", artifacts_dir / "eval_gflownet")
                 )
+                validate_manifest(
+                    chains_dir,
+                    artifact=str(r.get("chains_artifact", ROLLOUT_ARTIFACT)),
+                    split=split,
+                )
+                by_id: dict[str, list] = {}
+                with (chains_dir / f"{split}.jsonl").open() as f:
+                    for line in f:
+                        rec = json.loads(line)
+                        by_id[rec["sample_id"]] = rec.get("candidate_chains", [])
+                for s in samples:
+                    qtext, golds = questions.get(s.sample_id, (s.sample_id, None))
+                    golds = golds or [id2e.get(int(a), str(a)) for a in s.answer_entity_ids]
+                    records.append(
+                        build_path_records(
+                            sample_id=s.sample_id,
+                            question_text=qtext,
+                            gold_answers=golds,
+                            chains=by_id.get(s.sample_id, []),
+                            settings=settings,
+                            pair_start_local=s.pair_start_local,
+                            pair_answer_local=s.pair_answer_local,
+                            pair_shortest_len=s.pair_shortest_len,
+                        )
+                    )
+            else:
+                for s in samples:
+                    qtext, golds = questions.get(s.sample_id, (s.sample_id, None))
+                    golds = golds or [id2e.get(int(a), str(a)) for a in s.answer_entity_ids]
+                    records.extend(
+                        build_triplet_records(
+                            s, question_text=qtext, gold_answers=golds,
+                            id2entity=id2e or {int(i): str(i) for i in s.node_entity_ids},
+                            id2relation=id2r or {int(i): str(i) for i in np.unique(s.edge_relations)},
+                            settings=settings,
+                        )
+                    )
             m = run_reasoner(
                 records, mode="llm", llm=llm,
                 output_path=artifacts_dir / "reasoner" / f"{split}.jsonl",
@@ -695,6 +729,67 @@ def _question_lookup(cfg: dict) -> dict[str, tuple[str, list[str] | None]]:
     return {r["graph_id"]: (r["question"], list(r.get("a_entity") or []) or None) for r in rows}
 
 
+@task_wrapper
+def task_sweep(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    """Hyperparameter search over train_retriever (reference Optuna sweeps)."""
+    from evi_rag_tpu.train.sweep import run_sweep
+
+    sw = cfg.get("sweep", {})
+    space = sw.get("space")
+    if not space:
+        raise ConfigError("sweep.space is required")
+
+    def objective(trial_cfg: dict) -> dict[str, float]:
+        trial_dir = run_dir / f"trial_{len(list(run_dir.glob('trial_*')))}"
+        trial_dir.mkdir(parents=True, exist_ok=True)
+        return task_train_retriever.__wrapped__(trial_cfg, run_dir=trial_dir)
+
+    result = run_sweep(
+        cfg,
+        space,
+        objective,
+        monitor=str(sw.get("monitor", "answer/reachability@100")),
+        mode=str(sw.get("mode", "max")),
+        strategy=str(sw.get("strategy", "random")),
+        num_trials=int(sw.get("num_trials", 5)),
+        seed=int(sw.get("seed", 0)),
+        out_path=run_dir / "sweep.json",
+    )
+    best = result["best"] or {}
+    metrics = {"best_score": best.get("score"), "num_trials": len(result["trials"])}
+    save_metrics_json(run_dir / "metrics.json", metrics)
+    return metrics
+
+
+@task_wrapper
+def task_seed_stats(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    """One-hop seed diagnostics: per-seed incident-edge counts and positive
+    ratios with percentiles (reference ``scripts/seed_onehop_stats.py``)."""
+    splits = list(cfg.get("eval", {}).get("splits", ["train"]))
+    out: dict[str, Any] = {}
+    for split in splits:
+        samples, *_ = _load_split(cfg, split)
+        edge_counts: list[int] = []
+        pos_ratios: list[float] = []
+        for s in samples:
+            heads, tails = s.edge_index
+            labels = np.asarray(s.edge_labels, dtype=np.float32)
+            for seed_local in np.asarray(s.topic_locals):
+                inc = (heads == seed_local) | (tails == seed_local)
+                n = int(inc.sum())
+                edge_counts.append(n)
+                pos_ratios.append(float(labels[inc].mean()) if n else 0.0)
+        if not edge_counts:
+            continue
+        for name, arr in (("onehop_edges", edge_counts), ("onehop_pos_ratio", pos_ratios)):
+            a = np.asarray(arr, dtype=np.float64)
+            out[f"{split}/{name}/mean"] = float(a.mean())
+            for p in (50, 90, 99):
+                out[f"{split}/{name}/p{p}"] = float(np.percentile(a, p))
+    save_metrics_json(run_dir / "metrics.json", out)
+    return out
+
+
 TASKS: dict[str, Callable] = {
     "build": task_build,
     "train_retriever": task_train_retriever,
@@ -703,6 +798,8 @@ TASKS: dict[str, Callable] = {
     "eval_gflownet": task_eval_gflownet,
     "bfs_chains": task_bfs_chains,
     "reasoner": task_reasoner,
+    "sweep": task_sweep,
+    "seed_stats": task_seed_stats,
 }
 
 

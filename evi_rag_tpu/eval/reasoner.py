@@ -125,24 +125,55 @@ def build_triplet_records(
     return records
 
 
+def chain_is_shortest_hit(
+    chain: Mapping[str, Any],
+    *,
+    pair_start_local: Sequence[int],
+    pair_answer_local: Sequence[int],
+    pair_shortest_len: Sequence[int],
+) -> bool:
+    """Does this chain realize some (start, answer) pair at its BFS-shortest
+    length?  (Reference shortest-chain hit via the pair map,
+    ``reasoner_path_dataset.py:349-406``.)"""
+    edges = chain.get("chain_edges") or []
+    if not edges:
+        return False
+    src = int(edges[0]["src_node_local"])
+    dst = int(edges[-1]["dst_node_local"])
+    length = len(edges)
+    for s, a, l in zip(pair_start_local, pair_answer_local, pair_shortest_len):
+        if int(s) == src and int(a) == dst and int(l) == length:
+            return True
+    return False
+
+
 def build_path_records(
     *,
     sample_id: str,
     question_text: str,
     gold_answers: list[str],
     chains: Sequence[Mapping[str, Any]],
-    shortest_chain_keys: set[tuple[int, ...]],
     settings: ReasonerSettings,
+    pair_start_local: Sequence[int] = (),
+    pair_answer_local: Sequence[int] = (),
+    pair_shortest_len: Sequence[int] = (),
 ) -> dict[str, Any]:
     """One prompt record from ranked candidate chains.
 
-    ``chains`` carry chain_text/frequency/length/edge_local_ids; a chain is a
-    "shortest" hit when its edge-id tuple is in ``shortest_chain_keys``
-    (reference ``reasoner_path_dataset.py:349-406``).
+    ``chains`` carry chain_text/frequency/length/edge ids; a chain "hits"
+    when it realizes a (start, answer) pair at the BFS-shortest length.
     """
     kept = list(chains[: settings.path_limit])
     visible_edge_ids = sorted({int(e) for c in kept for e in c.get("edge_local_ids", [])})
-    hit = any(tuple(int(e) for e in c.get("edge_local_ids", [])) in shortest_chain_keys for c in kept)
+    hit = any(
+        chain_is_shortest_hit(
+            c,
+            pair_start_local=pair_start_local,
+            pair_answer_local=pair_answer_local,
+            pair_shortest_len=pair_shortest_len,
+        )
+        for c in kept
+    )
     prompt = build_path_prompt(
         question=question_text,
         chains=kept,

@@ -132,7 +132,7 @@ def _score_kernel(
     ef = jnp.exp(fwd - mx)
     eb = jnp.exp(bwd - mx)
     w_f = ef / (ef + eb)
-    out_ref[0, :] = w_f * fwd + (1.0 - w_f) * bwd
+    out_ref[:, 0] = w_f * fwd + (1.0 - w_f) * bwd
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
@@ -189,8 +189,8 @@ def pallas_score_bidirectional(
             full(hh, d), full(hh, d), vec(d), vec(d), vec(d),  # struct proj + ln
             full(d, 1), vec(1),                                # struct gate
         ],
-        out_specs=pl.BlockSpec((1, tile), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp // tile, tile), jnp.float32),
+        out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
         interpret=interpret,
     )(
         head_repr.astype(bf16), rel_repr.astype(bf16), tail_repr.astype(bf16),
@@ -203,7 +203,7 @@ def pallas_score_bidirectional(
         w["ws_top"], w["ws_bot"], w["bs"], w["lns_scale"], w["lns_bias"],
         w["wg_kernel"], w["wg_bias"],
     )
-    return out.reshape(mp)[:m]
+    return out[:m, 0]
 
 
 def pallas_query_topk(

@@ -237,3 +237,35 @@ def test_llm_retry_backoff(monkeypatch):
     monkeypatch.setattr(mod.time, "sleep", lambda s: None)
     assert run_chat(flaky, [], max_retries=3) == "ok"
     assert len(calls) == 3
+
+
+def test_path_records_shortest_hit():
+    from evi_rag_tpu.eval.reasoner import build_path_records, chain_is_shortest_hit
+
+    chain = {
+        "chain_text": "A --[r0]--> B --[r1]--> C",
+        "frequency": 2,
+        "length": 2,
+        "edge_local_ids": [0, 1],
+        "chain_edges": [
+            {"src_node_local": 0, "dst_node_local": 1, "relation_id": 0, "direction": 0,
+             "edge_id": 0, "head_entity_id": 10, "tail_entity_id": 11,
+             "src_entity_id": 10, "dst_entity_id": 11},
+            {"src_node_local": 1, "dst_node_local": 2, "relation_id": 1, "direction": 0,
+             "edge_id": 1, "head_entity_id": 11, "tail_entity_id": 12,
+             "src_entity_id": 11, "dst_entity_id": 12},
+        ],
+    }
+    assert chain_is_shortest_hit(
+        chain, pair_start_local=[0], pair_answer_local=[2], pair_shortest_len=[2]
+    )
+    assert not chain_is_shortest_hit(
+        chain, pair_start_local=[0], pair_answer_local=[2], pair_shortest_len=[1]
+    )
+    rec = build_path_records(
+        sample_id="s0", question_text="q?", gold_answers=["C"], chains=[chain],
+        settings=ReasonerSettings(path_limit=5),
+        pair_start_local=[0], pair_answer_local=[2], pair_shortest_len=[2],
+    )
+    assert rec["hit_set"] is True and rec["visible_edge_ids"] == [0, 1]
+    assert "Paths:" in rec["prompt"]

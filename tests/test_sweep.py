@@ -1,0 +1,52 @@
+"""Hyperparameter sweep driver: sampling, grid, failure tolerance."""
+
+import numpy as np
+import pytest
+
+from evi_rag_tpu.train.sweep import grid_points, run_sweep, sample_space
+
+
+def test_sample_space_distributions():
+    rng = np.random.default_rng(0)
+    space = {
+        "a.lr": {"dist": "loguniform", "low": 1e-5, "high": 1e-1},
+        "b.dim": {"dist": "choice", "values": [16, 32]},
+        "c.t": {"dist": "uniform", "low": 0.5, "high": 2.0},
+        "d.n": {"dist": "int_uniform", "low": 1, "high": 4},
+    }
+    for _ in range(20):
+        s = sample_space(space, rng)
+        assert 1e-5 <= s["a.lr"] <= 1e-1
+        assert s["b.dim"] in (16, 32)
+        assert 0.5 <= s["c.t"] <= 2.0
+        assert s["d.n"] in (1, 2, 3, 4)
+
+
+def test_grid_points():
+    pts = grid_points({
+        "x": {"dist": "choice", "values": [1, 2]},
+        "y": {"dist": "choice", "values": ["a", "b", "c"]},
+    })
+    assert len(pts) == 6
+    with pytest.raises(ValueError, match="choice"):
+        grid_points({"x": {"dist": "uniform", "low": 0, "high": 1}})
+
+
+def test_run_sweep_picks_best_and_survives_failures(tmp_path):
+    base = {"model": {"lr": 0.0}}
+    space = {"model.lr": {"dist": "choice", "values": [0.1, 0.2, 0.3, 0.4]}}
+
+    def objective(cfg):
+        lr = cfg["model"]["lr"]
+        if lr == 0.3:
+            raise RuntimeError("boom")
+        return {"score": -abs(lr - 0.2)}  # best at 0.2
+
+    res = run_sweep(
+        base, space, objective, monitor="score", mode="max",
+        strategy="grid", out_path=tmp_path / "sweep.json",
+    )
+    assert res["best"]["overrides"]["model.lr"] == 0.2
+    statuses = [t["status"] for t in res["trials"]]
+    assert statuses.count("error") == 1 and statuses.count("ok") == 3
+    assert (tmp_path / "sweep.json").exists()
