@@ -197,7 +197,7 @@ def query_topk_sharded(
     """
     from functools import partial as _partial
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     axis = mesh.axis_names[0]
@@ -212,7 +212,7 @@ def query_topk_sharded(
         mesh=mesh,
         in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     def run(q, h, r, t, s):
         local = TripleIndex(head_repr=h, rel_repr=r, tail_repr=t, struct_raw=s)

@@ -1,0 +1,64 @@
+"""Exact kNN vs numpy brute force, all metrics, plus the sharded variant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from evi_rag_tpu.ops.knn import knn_topk, knn_topk_sharded
+from evi_rag_tpu.parallel.mesh import make_mesh
+
+B, V, D, K = 4, 1000, 64, 10
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    return (
+        rng.normal(size=(B, D)).astype(np.float32),
+        rng.normal(size=(V, D)).astype(np.float32),
+    )
+
+
+def _brute(q, t, metric):
+    if metric == "dot":
+        return q @ t.T
+    if metric == "cosine":
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        tn = t / np.linalg.norm(t, axis=1, keepdims=True)
+        return qn @ tn.T
+    return -((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
+
+
+@pytest.mark.parametrize("metric", ["dot", "cosine", "l2"])
+def test_knn_matches_bruteforce(data, metric):
+    q, t = data
+    vals, ids = knn_topk(jnp.asarray(q), jnp.asarray(t), k=K, chunk=256, metric=metric,
+                         dtype=jnp.float32)
+    scores = _brute(q, t, metric)
+    want_ids = np.argsort(-scores, axis=1)[:, :K]
+    got = np.asarray(ids)
+    for b in range(B):
+        # Allow order differences on exact ties only.
+        assert set(got[b].tolist()) == set(want_ids[b].tolist())
+    if metric == "l2":
+        # scores differ from brute by the per-query ||q||^2 constant; ranks matched above.
+        return
+    np.testing.assert_allclose(
+        np.asarray(vals), np.take_along_axis(scores, want_ids, axis=1), rtol=1e-4, atol=1e-4
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_knn_sharded_matches_single(data):
+    q, t = data
+    t8 = t[:960]  # divisible by 8
+    v_ref, i_ref = knn_topk(jnp.asarray(q), jnp.asarray(t8), k=K, chunk=128, dtype=jnp.float32)
+    mesh = make_mesh(8)
+    t_sh = jax.device_put(jnp.asarray(t8), NamedSharding(mesh, P("data")))
+    v_got, i_got = knn_topk_sharded(jnp.asarray(q), t_sh, mesh=mesh, k=K, chunk=128,
+                                    dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), rtol=1e-5)
+    for b in range(B):
+        assert set(np.asarray(i_got[b]).tolist()) == set(np.asarray(i_ref[b]).tolist())
