@@ -28,6 +28,41 @@ from evi_rag_tpu.models.batches import AgentBatch, PairSupervision, RetrieverBat
 from evi_rag_tpu.ops.graph import pad_graphs
 
 
+def prefetch(iterator, *, size: int = 2):
+    """Background-thread prefetch: overlap host collation with device compute.
+
+    The reference gets this overlap from multi-worker DataLoaders
+    (``loader.py:102-164``); here a single daemon thread keeps ``size``
+    collated batches in flight, which saturates the one-batch-ahead need of
+    an accelerator-bound training loop.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
 def round_up_pow2(x: int, base: int = 128) -> int:
     """Round up to base * 2^k (>= base)."""
     if x <= base:

@@ -161,6 +161,16 @@ def make_eval_step(
         res.update({f"bridge/{k}": v for k, v in pq.items() if k != "graph_valid"})
         res["bridge/quality_valid"] = pq["graph_valid"]
         res["coverage"] = bridge_positive_coverage(labels, batch)  # scalar sums
+        # FeatureMonitor analog (reference src/metrics/feature_monitor.py):
+        # mean sigmoid prob by label + edge-feature norm stability.
+        emask = batch.graph.edge_mask
+        probs = jax.nn.sigmoid(scores)
+        pos = (labels > 0.5) & emask
+        neg = (labels <= 0.5) & emask
+        res["features/pos_prob_avg"] = jnp.sum(jnp.where(pos, probs, 0.0)) / jnp.maximum(jnp.sum(pos), 1)
+        res["features/neg_prob_avg"] = jnp.sum(jnp.where(neg, probs, 0.0)) / jnp.maximum(jnp.sum(neg), 1)
+        norms = jnp.linalg.norm(out.edge_embeddings, axis=-1)
+        res["features/norm_avg"] = jnp.sum(jnp.where(emask, norms, 0.0)) / jnp.maximum(jnp.sum(emask), 1)
         res["logits"] = scores
         return res
 
@@ -175,8 +185,17 @@ def evaluate(
     """Aggregate the metric suite over an eval split."""
     acc = MetricAccumulator()
     cov = MetricAccumulator()
+    feat = MetricAccumulator()
     for batch in batches:
         res = eval_step(params, batch)
+        feat.update(
+            {
+                "features/pos_prob_avg": res["features/pos_prob_avg"],
+                "features/neg_prob_avg": res["features/neg_prob_avg"],
+                "features/norm_avg": res["features/norm_avg"],
+            },
+            jnp.ones((), bool),
+        )
         groups = {
             "edge/graph_valid": [k for k in res if k.startswith("edge/recall")],
             "bridge/graph_valid": [k for k in res if k.startswith("bridge/recall")],
@@ -192,6 +211,10 @@ def evaluate(
     out["bridge/pos_edge_frac"] = c.get("bridge_pos_edges", 0.0) / max(c.get("total_pos_edges", 0.0), 1e-8)
     out["bridge/pos_graph_frac"] = c.get("graphs_with_bridge_pos", 0.0) / max(
         c.get("graphs_with_pos", 0.0), 1e-8
+    )
+    out.update(feat.compute())
+    out["features/separation_gap"] = out.get("features/pos_prob_avg", 0.0) - out.get(
+        "features/neg_prob_avg", 0.0
     )
     return out
 
@@ -221,7 +244,9 @@ def fit(
         t0 = time.time()
         n_steps = 0
         last_loss = float("nan")
-        for batch in train_batches(epoch):
+        from evi_rag_tpu.data.feeder import prefetch
+
+        for batch in prefetch(iter(train_batches(epoch))):
             state, metrics = train_step(state, batch)
             n_steps += 1
             if n_steps % log_every == 0:
