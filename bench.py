@@ -159,6 +159,64 @@ def bench_cpu_reference(bundle, inputs, *, reduced: int = 2048):
     return 1.0 / dt_full  # queries/sec (single CPU)
 
 
+def bench_knn(dim: int = 1024, table_rows: int = 262144, batch: int = 64, k: int = 100):
+    """Secondary: exact kNN over an embedding table (entity linking path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.ops.knn import knn_topk
+
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(table_rows, dim)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(batch, dim)).astype(np.float32))
+
+    def run():
+        return knn_topk(q, table, k=k, chunk=8192, metric="cosine")
+
+    np.asarray(run()[0])
+    np.asarray(run()[0])
+    t0 = time.perf_counter()
+    for _ in range(4):
+        run()
+    np.asarray(run()[0])
+    dt = (time.perf_counter() - t0) / 5
+    return batch / dt
+
+
+def bench_train_step():
+    """Secondary: retriever train-step throughput (graphs/sec) at production width."""
+    import jax
+
+    from evi_rag_tpu.data.feeder import Bucket, collate_stacked
+    from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+    from evi_rag_tpu.models.retriever import Retriever
+    from evi_rag_tpu.train.retriever_trainer import (
+        RetrieverTrainConfig,
+        create_train_state,
+        make_train_step,
+    )
+
+    ds = make_synthetic_dataset(num_samples=32, emb_dim=1024, max_nodes=64, seed=0)
+    bucket = Bucket(graphs=33, nodes=4096, edges=16384)
+    batch = collate_stacked(
+        ds.samples, num_shards=1, entity_emb=ds.entity_emb,
+        relation_emb=ds.relation_emb, question_emb=ds.question_emb, bucket=bucket,
+    )
+    model = Retriever(emb_dim=1024, hidden_dim=1024, dropout_p=0.1)
+    cfg = RetrieverTrainConfig(k_values=(100,))
+    state, tx = create_train_state(model, batch, cfg, seed=0)
+    step = make_train_step(model, tx, cfg)
+    state, m = step(state, batch)
+    float(m["loss"])  # sync
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, m = step(state, batch)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return 32 / dt  # graphs/sec
+
+
 def main():
     dim, hidden = 1024, 1024
     struct_dim = 2 * 2 * (1 + 2 + 2)  # edge struct = concat(head, tail) topic features
@@ -172,6 +230,28 @@ def main():
     qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096)
     cpu_qps = bench_cpu_reference(bundle, inputs)
     vs = qps / cpu_qps if cpu_qps else float("nan")
+
+    details = {
+        "query_throughput_qps": round(qps, 3),
+        "query_latency_ms_batch8": round(dt * 1e3, 2),
+        "cpu_reference_qps": round(cpu_qps, 4) if cpu_qps else None,
+    }
+    try:
+        details["knn_qps_262k_rows_d1024"] = round(bench_knn(), 2)
+    except Exception as exc:  # secondary benchmarks must not break the headline
+        details["knn_error"] = str(exc)
+    try:
+        details["train_step_graphs_per_sec"] = round(bench_train_step(), 2)
+    except Exception as exc:
+        details["train_error"] = str(exc)
+    print(json.dumps(details), file=sys.stderr)
+    try:
+        import pathlib
+
+        pathlib.Path("bench_details.json").write_text(json.dumps(details, indent=2))
+    except OSError:
+        pass
+
     print(
         json.dumps(
             {

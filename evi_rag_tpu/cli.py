@@ -147,7 +147,7 @@ def _retriever_train_cfg(cfg: dict):
 
 
 def _enforce_sub_training_scope(cfg: dict, task: str) -> None:
-    """Retriever/GFlowNet训练 must run on the filtered sub dataset
+    """Retriever/GFlowNet training must run on the filtered sub dataset
     (reference ``_enforce_sub_training_scope``, ``train.py:106-147``)."""
     ds = cfg.get("dataset", {})
     if ds.get("source") != "normalized":
@@ -235,7 +235,10 @@ def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                 question_emb=q_val, bucket=bucket,
             )
 
-    best_params, info = fit(model, tcfg, train_batches, val_batches, seed=int(t.get("seed", 0)))
+    best_params, info = fit(
+        model, tcfg, train_batches, val_batches,
+        seed=int(t.get("seed", 0)), resume_from=t.get("resume_from"),
+    )
     mlog = MetricLogger(run_dir)
     for h in info["history"]:
         mlog.log({**h["val"], "train_loss": h["train_loss"]}, step=h["epoch"])
@@ -250,6 +253,7 @@ def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         ckpt_dir / "last",
         info["final_state"].params,
         meta={"parity_meta": model.parity_meta()},
+        opt_state=info["final_state"].opt_state,
         step=int(info["final_state"].step),
     )
     eval_step = make_eval_step(model, tcfg)

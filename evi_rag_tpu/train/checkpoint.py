@@ -82,6 +82,7 @@ def save_checkpoint(
         "schema_version": SCHEMA_VERSION,
         "params_sha256": digest,
         "step": step,
+        "has_opt_state": opt_state is not None,
         **(meta or {}),
     }
     (path / META_FILENAME).write_text(json.dumps(payload, indent=2, default=str))
@@ -106,7 +107,7 @@ def load_checkpoint(
         )
     with ocp.StandardCheckpointer() as ckptr:
         if example is not None:
-            tree = ckptr.restore(path / "state", ocp.args.StandardRestore(example))
+            tree = ckptr.restore(path / "state", target=example)
         else:
             tree = ckptr.restore(path / "state")
     if strict_digest:

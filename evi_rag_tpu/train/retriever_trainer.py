@@ -227,10 +227,35 @@ def fit(
     *,
     seed: int = 0,
     log_every: int = 50,
+    resume_from: str | None = None,
 ) -> tuple[Any, dict[str, Any]]:
-    """Epoch loop with monitored early stopping; returns (best_params, history)."""
+    """Epoch loop with monitored early stopping; returns (best_params, history).
+
+    ``resume_from`` restores params (+opt_state when present) from a
+    checkpoint dir -- the reference's ``ckpt_path`` resume (train.py:198).
+    """
     first = next(iter(train_batches(0)))
     state, tx = create_train_state(model, first, cfg, seed=seed)
+    if resume_from:
+        import json as _json
+        import pathlib as _pathlib
+
+        from evi_rag_tpu.train.checkpoint import load_checkpoint
+
+        _meta = _json.loads((_pathlib.Path(resume_from) / "meta.json").read_text())
+        tree, meta = load_checkpoint(
+            resume_from,
+            example={"params": state.params, "opt_state": state.opt_state}
+            if _meta.get("has_opt_state")
+            else {"params": state.params},
+        )
+        state = TrainState(
+            params=tree["params"],
+            opt_state=tree.get("opt_state", state.opt_state),
+            step=jnp.asarray(int(meta.get("step") or 0), jnp.int32),
+            rng=state.rng,
+        )
+        log.info("resumed from %s at step %s", resume_from, meta.get("step"))
     train_step = make_train_step(model, tx, cfg)
     eval_step = make_eval_step(model, cfg)
 

@@ -103,3 +103,38 @@ def test_embedder_matches_retriever_features(trained):
     np.testing.assert_allclose(
         np.asarray(logits_fwd), np.asarray(out.logits_fwd), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fit_resume_roundtrip(tmp_path, trained):
+    """fit(resume_from=...) restores params + opt_state and continues."""
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.data.feeder import Bucket, collate_retriever
+    from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+    from evi_rag_tpu.train.retriever_trainer import (
+        RetrieverTrainConfig,
+        create_train_state,
+        fit,
+    )
+    from evi_rag_tpu.train.optim import OptimizerConfig
+
+    model, params, batch = trained
+    cfg = RetrieverTrainConfig(
+        optimizer=OptimizerConfig(name="adamw", learning_rate=1e-3),
+        max_epochs=1, k_values=(5,), monitor="edge/recall@5",
+    )
+    ds = make_synthetic_dataset(num_samples=4, emb_dim=EMB, max_nodes=10, seed=3)
+    bucket = Bucket(graphs=3, nodes=64, edges=256)
+    kw = dict(entity_emb=ds.entity_emb, relation_emb=ds.relation_emb, question_emb=ds.question_emb)
+
+    def train_batches(epoch):
+        b = collate_retriever(ds.samples[:2], bucket=bucket, **kw)
+        yield jax.tree.map(lambda x: x[None], b)
+
+    def val_batches():
+        yield collate_retriever(ds.samples[2:4], bucket=bucket, **kw)
+
+    state, tx = create_train_state(model, collate_retriever(ds.samples[:2], bucket=bucket, **kw), cfg)
+    save_checkpoint(tmp_path / "resume", state.params, meta={}, opt_state=state.opt_state, step=5)
+    best, info = fit(model, cfg, train_batches, val_batches, resume_from=str(tmp_path / "resume"))
+    assert int(info["final_state"].step) == 6  # resumed at 5, ran 1 step
