@@ -79,3 +79,21 @@ def test_sharded_query_topk_matches_single_device():
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), rtol=1e-5, atol=1e-5)
     for b in range(B):
         assert set(np.asarray(i_got[b]).tolist()) == set(np.asarray(i_ref[b]).tolist())
+
+
+def test_multihost_gather_single_process():
+    from evi_rag_tpu.parallel.multihost import gather_records, is_main_process, main_process_only
+
+    assert is_main_process()
+    recs = [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}, {"id": 1, "v": "c"}]
+    out = gather_records(recs, dedup_key=lambda r: r["id"])
+    assert {r["id"]: r["v"] for r in out} == {1: "c", 2: "b"}
+
+    calls = []
+
+    @main_process_only
+    def write():
+        calls.append(1)
+        return "done"
+
+    assert write() == "done" and calls == [1]
