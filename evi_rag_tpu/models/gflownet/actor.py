@@ -129,9 +129,10 @@ def rollout(
         unused = ~state.used_edge_mask
         valid = (fwd | bwd) & unused
 
+        policy_rngs = {"dropout": jax.random.fold_in(key, 2)} if train else None
         edge_logits, stop_logits, state_out = policy.apply(
             policy_params, edge_tokens, state_tokens, gb.edge_batch, valid,
-            edge_base=edge_base, train=train,
+            edge_base=edge_base, train=train, rngs=policy_rngs,
         )
         lp_edge, lp_stop, has_edge = log_probs_edges(
             edge_logits, stop_logits, gb.edge_batch, valid, g, temp

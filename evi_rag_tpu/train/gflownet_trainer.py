@@ -182,6 +182,7 @@ def _rollout_losses(
             config=actor_cfg,
             greedy=greedy,
             dag_edge_mask=dag_mask,
+            train=train,
         )
         rw = compute_reward(
             batch,
