@@ -276,6 +276,19 @@ def _load_retriever_ckpt(cfg: dict, model) -> tuple[Any, dict]:
     return tree["params"], meta
 
 
+def _enforce_single_process_eval(cfg: dict) -> None:
+    """Eval metric aggregation must not shard across processes (the
+    reference hard-fails on DDP/FSDP eval, ``src/eval.py:32-77``); a
+    multi-chip mesh on ONE process is fine (metrics aggregate on host)."""
+    import jax
+
+    if jax.process_count() > 1 and not cfg.get("eval", {}).get("allow_multiprocess", False):
+        raise ConfigError(
+            "eval tasks require a single process (metric aggregation is "
+            "host-side); set eval.allow_multiprocess=true to override"
+        )
+
+
 @task_wrapper
 def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     from evi_rag_tpu.data.feeder import collate_retriever, fixed_bucket_for
@@ -287,6 +300,7 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     )
     from evi_rag_tpu.train.retriever_trainer import evaluate, make_eval_step
 
+    _enforce_single_process_eval(cfg)
     model = _retriever_model(cfg)
     params, _meta = _load_retriever_ckpt(cfg, model)
     tcfg = _retriever_train_cfg(cfg)

@@ -342,7 +342,9 @@ def fit_gflownet(
     for epoch in range(cfg.max_epochs):
         t0 = time.time()
         last = {}
-        for batch in train_batches(epoch):
+        from evi_rag_tpu.data.feeder import prefetch
+
+        for batch in prefetch(iter(train_batches(epoch))):
             state, last = train_step(state, batch)
         val = evaluate_gflownet(
             state.params, eval_step, val_batches(), rng=jax.random.key(1000 + epoch),

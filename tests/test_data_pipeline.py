@@ -192,3 +192,18 @@ def test_pipeline_answer_subgraph_priority(tmp_path):
     # Positives restricted to the answer_subgraph shortest path (2 edges),
     # NOT the direct A->C shortcut.
     assert s.edge_labels.tolist() == [True, True, False]
+
+
+def test_prefetch_yields_and_propagates_errors():
+    from evi_rag_tpu.data.feeder import prefetch
+
+    assert list(prefetch(iter(range(5)), size=2)) == [0, 1, 2, 3, 4]
+
+    def boom():
+        yield 1
+        raise RuntimeError("collate failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="collate failed"):
+        list(it)
