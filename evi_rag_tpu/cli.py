@@ -301,6 +301,32 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     from evi_rag_tpu.train.retriever_trainer import evaluate, make_eval_step
 
     _enforce_single_process_eval(cfg)
+    # Multi-dataset loop (the reference's full+sub dual-eval,
+    # eval.py:285-308): eval.datasets lists dataset-group names evaluated
+    # in sequence, each into its own artifacts subdir.
+    variants = cfg.get("eval", {}).get("datasets")
+    if variants:
+        from evi_rag_tpu.utils.config import deep_merge, _load_group  # type: ignore
+        import copy as _copy
+
+        combined: dict[str, Any] = {}
+        for name in variants:
+            sub_cfg = _copy.deepcopy(cfg)
+            sub_cfg["eval"] = dict(sub_cfg.get("eval", {}))
+            sub_cfg["eval"].pop("datasets", None)
+            sub_cfg["dataset"] = _load_group(
+                pathlib.Path(cfg.get("_configs_dir", "configs")), "dataset", str(name)
+            )
+            sub_dir = run_dir / str(name)
+            sub_dir.mkdir(parents=True, exist_ok=True)
+            sub_cfg["eval"]["artifacts_dir"] = str(
+                pathlib.Path(cfg["eval"].get("artifacts_dir", run_dir / "artifacts")) / str(name)
+            )
+            m = task_eval_retriever.__wrapped__(sub_cfg, run_dir=sub_dir)
+            combined.update({f"{name}/{k}": v for k, v in m.items()})
+        save_metrics_json(run_dir / "metrics.json", combined)
+        return combined
+
     model = _retriever_model(cfg)
     params, _meta = _load_retriever_ckpt(cfg, model)
     tcfg = _retriever_train_cfg(cfg)
@@ -808,6 +834,25 @@ def task_seed_stats(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     return out
 
 
+def apply_extras(cfg: dict) -> None:
+    """Debug-profile knobs (the reference's ``trainer/quick.yaml``
+    ``deterministic`` + ``detect_anomaly``): NaN detection aborts the first
+    bad op; deterministic mode forces bit-reproducible XLA reductions."""
+    import jax
+
+    extras = cfg.get("extras", {}) or {}
+    if extras.get("debug_nans"):
+        jax.config.update("jax_debug_nans", True)
+    if extras.get("deterministic"):
+        import os as _os
+
+        flags = _os.environ.get("XLA_FLAGS", "")
+        if "xla_gpu_deterministic" not in flags:
+            _os.environ["XLA_FLAGS"] = (flags + " --xla_tpu_enable_data_parallel_all_reduce_opt=false").strip()
+    if extras.get("platform"):
+        jax.config.update("jax_platforms", str(extras["platform"]))
+
+
 TASKS: dict[str, Callable] = {
     "build": task_build,
     "train_retriever": task_train_retriever,
@@ -832,6 +877,8 @@ def main(argv: list[str] | None = None) -> int:
     config_name = args.config or args.task
     cfg = load_config(args.configs_dir, config_name, args.overrides)
     cfg.setdefault("task_name", args.task)
+    cfg["_configs_dir"] = args.configs_dir
+    apply_extras(cfg)
     run_dir = make_run_dir(cfg)
     log.info("task=%s run_dir=%s", args.task, run_dir)
     TASKS[args.task](cfg, run_dir=run_dir)

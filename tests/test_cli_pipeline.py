@@ -108,3 +108,28 @@ def test_full_pipeline_synthetic(tmp_path):
     assert m7["validation/results/total"] > 0
     preds = pathlib.Path(art) / "reasoner" / "validation.jsonl"
     assert preds.exists()
+
+
+def test_eval_dataset_variants_loop(tmp_path):
+    """eval.datasets loops dataset groups (the reference's full+sub dual eval)."""
+    # Train a tiny ckpt first.
+    _, _ = _run(
+        "train_retriever",
+        ["experiment=quick_synthetic", f"retriever.train.ckpt_dir={tmp_path}/ckpt"],
+        tmp_path,
+    )
+    best = tmp_path / "ckpt" / "best"
+    cfg = load_config(
+        CONFIGS, "eval_retriever",
+        ["experiment=quick_synthetic", f"retriever.ckpt={best}",
+         "eval.splits=[validation]", "eval.g_agent.edge_top_k=20",
+         "eval.datasets=[synthetic, synthetic]",
+         f"eval.artifacts_dir={tmp_path}/art"],
+    )
+    cfg["task_name"] = "eval_retriever"
+    cfg["_configs_dir"] = CONFIGS
+    run_dir = tmp_path / "runs" / "dual"
+    run_dir.mkdir(parents=True)
+    m = cli.TASKS["eval_retriever"](cfg, run_dir=run_dir)
+    assert any(k.startswith("synthetic/validation/") for k in m)
+    assert (run_dir / "metrics.json").exists()
