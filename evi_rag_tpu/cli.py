@@ -137,12 +137,32 @@ def _retriever_train_cfg(cfg: dict):
             schedule=str(o.get("schedule", "constant")),
             warmup_steps=int(o.get("warmup_steps", 0)),
             total_steps=int(o.get("total_steps", 10_000)),
+            groups=_param_groups(o.get("groups")),
         ),
         max_epochs=int(t.get("max_epochs", 5)),
         monitor=str(t.get("monitor", "answer/reachability@100")),
         monitor_mode=str(t.get("monitor_mode", "max")),
         patience=int(t.get("patience", 5)),
         k_values=tuple(int(k) for k in t.get("k_values", DEFAULT_K_GRID)),
+    )
+
+
+def _param_groups(raw) -> tuple:
+    """Parse optimizer param groups (glob patterns -> optimizer choice),
+    e.g. [{patterns: ["params/state_net_*/kernel"], optimizer: muon}]."""
+    from evi_rag_tpu.train.optim import ParamGroup
+
+    if not raw:
+        return ()
+    return tuple(
+        ParamGroup(
+            patterns=tuple(g["patterns"]),
+            optimizer=str(g.get("optimizer", "adamw")),
+            lr_scale=float(g.get("lr_scale", 1.0)),
+            weight_decay=g.get("weight_decay"),
+            momentum=float(g.get("momentum", 0.95)),
+        )
+        for g in raw
     )
 
 
@@ -369,6 +389,8 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         for batch in batches():
             res = eval_step(params, batch)
             scores = np.asarray(res["logits"])
+            lf = np.asarray(res["logits_fwd"])
+            lb = np.asarray(res["logits_bwd"])
             eb = np.asarray(batch.graph.edge_batch)
             emask = np.asarray(batch.graph.edge_mask)
             chunk = samples[i : i + per_batch]
@@ -405,8 +427,8 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                     topk_record_for_sample(
                         sample_id=s.sample_id,
                         scores=s_scores,
-                        logits_fwd=s_scores,
-                        logits_bwd=s_scores,
+                        logits_fwd=lf[sel],
+                        logits_bwd=lb[sel],
                         heads_global=ent_ids[s.edge_index[0]],
                         rels=np.asarray(s.edge_relations),
                         tails_global=ent_ids[s.edge_index[1]],

@@ -172,6 +172,8 @@ def make_eval_step(
         norms = jnp.linalg.norm(out.edge_embeddings, axis=-1)
         res["features/norm_avg"] = jnp.sum(jnp.where(emask, norms, 0.0)) / jnp.maximum(jnp.sum(emask), 1)
         res["logits"] = scores
+        res["logits_fwd"] = out.logits_fwd
+        res["logits_bwd"] = out.logits_bwd
         return res
 
     return step

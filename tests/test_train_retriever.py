@@ -110,3 +110,28 @@ def test_muon_param_groups_step(data):
         for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state2.params))
     )
     assert diff > 0
+
+
+def test_bce_loss_path(data):
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.data.feeder import Bucket, collate_retriever
+    from evi_rag_tpu.models.losses import RetrieverLossConfig, retriever_loss
+
+    ds = data
+    bucket = Bucket(graphs=5, nodes=128, edges=512)
+    batch = collate_retriever(
+        ds.samples[:4], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    cfg = RetrieverLossConfig(infonce_weight=1.0, bce_weight=0.5)
+    out = retriever_loss(
+        jnp.zeros(batch.graph.num_edges), batch.edge_labels, batch.graph.edge_batch,
+        num_graphs=batch.graph.num_graphs, graph_mask=batch.graph.graph_mask,
+        edge_mask=batch.graph.edge_mask, config=cfg,
+    )
+    # zeros logits: per-edge BCE = log(2) for every edge in every graph.
+    np.testing.assert_allclose(float(out.components["bce"]), np.log(2.0), rtol=1e-5)
+    assert float(out.loss) == pytest.approx(
+        float(out.components["infonce"]) + 0.5 * np.log(2.0), rel=1e-5
+    )
