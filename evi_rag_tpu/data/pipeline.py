@@ -307,6 +307,62 @@ def _sub_filter_keep(g: GraphRecord) -> bool:
     return has_topic and has_answer and has_path and (nonzero_min or no_overlap)
 
 
+# ----------------------------------------------------------------------- #
+# Worker-process graph building (reference ProcessPoolExecutor path,
+# build_retrieval_pipeline.py:1405-1421): the finalized vocab lookups are
+# shipped once via the pool initializer; workers run build_graph_record.
+# ----------------------------------------------------------------------- #
+
+_WORKER_STATE: dict[str, Any] = {}
+
+
+class _FrozenVocab:
+    """Read-only vocab view safe to ship to worker processes."""
+
+    def __init__(self, vocab: "Vocab") -> None:
+        self.entity_to_id = dict(vocab.entity_to_id)
+        self.relation_to_id = dict(vocab.relation_to_id)
+        self.entity_embedding_id = dict(vocab.entity_embedding_id)
+
+    def add_entity(self, ent: str) -> int:
+        try:
+            return self.entity_to_id[ent]
+        except KeyError:
+            raise KeyError(f"entity {ent!r} missing from finalized vocab") from None
+
+    def add_relation(self, rel: str) -> int:
+        try:
+            return self.relation_to_id[rel]
+        except KeyError:
+            raise KeyError(f"relation {rel!r} missing from finalized vocab") from None
+
+    def embedding_id(self, ent: str) -> int:
+        return self.entity_embedding_id.get(ent, NON_TEXT_EMBEDDING_ID)
+
+
+def _init_worker(frozen: _FrozenVocab, cfg: "PipelineConfig") -> None:
+    _WORKER_STATE["vocab"] = frozen
+    _WORKER_STATE["cfg"] = cfg
+
+
+def _build_graph_worker(sample: RawSample) -> "GraphRecord":
+    return build_graph_record(sample, _WORKER_STATE["vocab"], _WORKER_STATE["cfg"])
+
+
+def _iter_graph_records(
+    samples: list[RawSample], vocab: "Vocab", cfg: "PipelineConfig"
+) -> Iterator["GraphRecord"]:
+    if cfg.num_workers <= 0:
+        for s in samples:
+            yield build_graph_record(s, vocab, cfg)
+        return
+    frozen = _FrozenVocab(vocab)
+    with ProcessPoolExecutor(
+        max_workers=cfg.num_workers, initializer=_init_worker, initargs=(frozen, cfg)
+    ) as pool:
+        yield from pool.map(_build_graph_worker, samples, chunksize=16)
+
+
 @dataclasses.dataclass
 class PipelineResult:
     out_dir: pathlib.Path
@@ -368,8 +424,7 @@ def build_pipeline(
         writer = SampleStoreWriter(out / "materialized" / split)
         q_texts = [s.question for s in samples]
         q_emb = encoder.encode(q_texts, batch_size=cfg.encode_batch_size)
-        for qi, s in enumerate(samples):
-            g = build_graph_record(s, vocab, cfg)
+        for qi, (s, g) in enumerate(zip(samples, _iter_graph_records(samples, vocab, cfg))):
             counts["kept"][split] = counts["kept"].get(split, 0) + 1
             if cfg.emit_sub_filter and _sub_filter_keep(g):
                 sub_ids.append(g.graph_id)

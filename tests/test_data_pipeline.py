@@ -207,3 +207,24 @@ def test_prefetch_yields_and_propagates_errors():
     assert next(it) == 1
     with pytest.raises(RuntimeError, match="collate failed"):
         list(it)
+
+
+def test_build_pipeline_with_workers(tmp_path):
+    """The ProcessPoolExecutor graph-build path matches the serial path."""
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    _write_raw(raw)
+    serial = tmp_path / "serial"
+    par = tmp_path / "par"
+    enc = HashTextEncoder(dim=16)
+    build_pipeline(PipelineConfig(dataset="toy", raw_root=str(raw), out_dir=str(serial)), enc)
+    build_pipeline(
+        PipelineConfig(dataset="toy", raw_root=str(raw), out_dir=str(par), num_workers=2), enc
+    )
+    s1, _ = load_retrieval_split(serial, "train")
+    s2, _ = load_retrieval_split(par, "train")
+    assert len(s1) == len(s2)
+    for a, b in zip(s1, s2):
+        assert a.sample_id == b.sample_id
+        np.testing.assert_array_equal(a.edge_index, b.edge_index)
+        np.testing.assert_array_equal(a.edge_labels, b.edge_labels)
