@@ -144,7 +144,7 @@ def pallas_score_bidirectional(
     tail_repr: jax.Array,    # [M, D]
     struct_raw: jax.Array,   # [M, S]
     *,
-    tile: int = 512,
+    tile: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """[M] bidirectional scores for one query via the fused kernel."""
@@ -191,6 +191,11 @@ def pallas_score_bidirectional(
         ],
         out_specs=pl.BlockSpec((tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            # The resident weight set (~8 MB bf16 at D=H=1024) plus pipelined
+            # input tiles exceeds the default scoped-vmem budget; raise it.
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         head_repr.astype(bf16), rel_repr.astype(bf16), tail_repr.astype(bf16),
@@ -212,7 +217,7 @@ def pallas_query_topk(
     index,               # ops.query.TripleIndex
     *,
     k: int,
-    tile: int = 512,
+    tile: int = 256,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Batched top-k via the fused kernel (vmapped over queries)."""
