@@ -575,6 +575,16 @@ def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     tree, meta = load_checkpoint(ckpt)
     params = tree["params"]["gflownet"]
     bundle = tree["params"]["retriever_bundle"]
+    # Validate the feature-geometry contract before any compute (reference
+    # parity_meta parse/validate, gflownet_embedder.py:698-759).
+    from evi_rag_tpu.train.checkpoint import validate_parity_meta
+
+    recorded = (meta.get("retriever_meta") or {}).get("parity_meta")
+    if recorded:
+        validate_parity_meta(
+            {k: int(v) for k, v in recorded.items()},
+            {k: int(v) for k, v in bundle["parity_meta"].items()},
+        )
     gcfg = _gfn_cfg(cfg)
     modules = build_modules(gcfg)
     bs = int(cfg.get("gflownet", {}).get("batch_size", 8))

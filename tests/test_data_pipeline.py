@@ -228,3 +228,21 @@ def test_build_pipeline_with_workers(tmp_path):
         assert a.sample_id == b.sample_id
         np.testing.assert_array_equal(a.edge_index, b.edge_index)
         np.testing.assert_array_equal(a.edge_labels, b.edge_labels)
+
+
+def test_manifest_validation(tmp_path):
+    from evi_rag_tpu.eval.artifacts import validate_manifest, write_manifest
+
+    d = tmp_path / "art"
+    d.mkdir()
+    (d / "test.jsonl").write_text("{}\n")
+    write_manifest(d, artifact="eval_bfs", filename="test.jsonl", split="test")
+    m = validate_manifest(d, artifact="eval_bfs", split="test")
+    assert m["split"] == "test"
+    with pytest.raises(ValueError, match="artifact"):
+        validate_manifest(d, artifact="wrong", split="test")
+    with pytest.raises(FileNotFoundError):
+        validate_manifest(d, artifact="eval_bfs", split="validation")
+    (d / "test.jsonl").unlink()
+    with pytest.raises(FileNotFoundError, match="missing file"):
+        validate_manifest(d, artifact="eval_bfs", split="test")
