@@ -68,6 +68,10 @@ class Retriever(nn.Module):
     dde_reverse_rounds: int = 2
     dropout_p: float = 0.1
     direction_mode: str = "bidirectional"  # forward|backward|bidirectional
+    # Mixed precision: run the dense score path in bf16 on the MXU with f32
+    # logits/reductions (the reference trains under Lightning 16-mixed,
+    # configs/trainer/{gpu,ddp}.yaml).  "float32" keeps full precision.
+    compute_dtype: str = "float32"  # float32 | bfloat16
     # hide-and-seek stochastic near/far demotion (reference retriever.py:291-367)
     hide_seek_enabled: bool = False
     hide_seek_p_near: float = 0.0
@@ -100,20 +104,21 @@ class Retriever(nn.Module):
         if self.num_topics != 2:
             raise ValueError("num_topics must be 2 (seed vs non-seed)")
         d, h = self.emb_dim, self.hidden_dim
+        cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         self.entity_proj = EmbeddingProjector(d, name="entity_proj")
         self.relation_proj = EmbeddingProjector(d, name="relation_proj")
         self.query_proj = EmbeddingProjector(d, name="query_proj")
         self.non_text_entity_emb = self.param(
             "non_text_entity_emb", nn.initializers.normal(1.0), (d,)
         )
-        self.q_gate = nn.Dense(d, name="q_gate")
-        self.q_bias = nn.Dense(d, name="q_bias")
-        self.struct_proj = nn.Dense(d, name="struct_proj")
-        self.struct_norm = nn.LayerNorm(name="struct_norm")
-        self.struct_gate = nn.Dense(1, name="struct_gate")
-        self.state_net_0 = nn.Dense(h, name="state_net_0")
-        self.state_norm = nn.LayerNorm(name="state_norm")
-        self.state_net_1 = nn.Dense(h, name="state_net_1")
+        self.q_gate = nn.Dense(d, name="q_gate", dtype=cdtype)
+        self.q_bias = nn.Dense(d, name="q_bias", dtype=cdtype)
+        self.struct_proj = nn.Dense(d, name="struct_proj", dtype=cdtype)
+        self.struct_norm = nn.LayerNorm(name="struct_norm", dtype=cdtype)
+        self.struct_gate = nn.Dense(1, name="struct_gate", dtype=cdtype)
+        self.state_net_0 = nn.Dense(h, name="state_net_0", dtype=cdtype)
+        self.state_norm = nn.LayerNorm(name="state_norm", dtype=cdtype)
+        self.state_net_1 = nn.Dense(h, name="state_net_1", dtype=cdtype)
         self.score_head = nn.Dense(1, name="score_head")
         self.dropout = nn.Dropout(self.dropout_p)
 
@@ -125,16 +130,17 @@ class Retriever(nn.Module):
     ) -> RetrieverOutput:
         gb = batch.graph
         heads, tails = gb.heads, gb.tails
+        cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
         # --- projections (retriever.py:403-451) ---
-        query_repr_g = self.query_proj(batch.question_emb)       # [G, D]
+        query_repr_g = self.query_proj(batch.question_emb.astype(cdtype))  # [G, D]
         query_repr = query_repr_g[gb.edge_batch]                 # [E, D]
-        node_repr = self.entity_proj(batch.node_emb)             # [N, D]
+        node_repr = self.entity_proj(batch.node_emb.astype(cdtype))  # [N, D]
         non_text = self.entity_proj(self.non_text_entity_emb[None, :])[0]
         node_repr = jnp.where(batch.node_is_nontext[:, None], non_text[None, :], node_repr)
         head_repr = node_repr[heads]
         tail_repr = node_repr[tails]
-        relation_repr = self.relation_proj(batch.edge_emb)       # [E, D]
+        relation_repr = self.relation_proj(batch.edge_emb.astype(cdtype))  # [E, D]
 
         # --- structural features (retriever.py:519-553) ---
         node_struct = build_node_struct_features(
@@ -144,6 +150,7 @@ class Retriever(nn.Module):
             num_reverse_rounds=self.dde_reverse_rounds,
             edge_mask=gb.edge_mask,
         )  # [N, topic_struct_dim]
+        node_struct = node_struct.astype(cdtype)
         struct_fwd = jnp.concatenate([node_struct[heads], node_struct[tails]], axis=-1)
         struct_bwd = jnp.concatenate([node_struct[tails], node_struct[heads]], axis=-1)
 
@@ -158,12 +165,14 @@ class Retriever(nn.Module):
             nav_gate = jax.nn.sigmoid(self.struct_gate(struct_ctx))
             interaction = h_r * r_ctx * t_r * nav_gate
             error_vec = h_r + r_ctx - t_r
-            dist = -jnp.sqrt(jnp.sum(error_vec * error_vec, axis=-1, keepdims=True) + 1e-12)
+            err32 = error_vec.astype(jnp.float32)
+            dist = -jnp.sqrt(jnp.sum(err32 * err32, axis=-1, keepdims=True) + 1e-12)
+            dist = dist.astype(error_vec.dtype)
             combined = jnp.concatenate([interaction, struct_ctx, error_vec, dist], axis=-1)
             feats = nn.gelu(self.state_norm(self.state_net_0(combined)))
             feats = self.dropout(feats, deterministic=not train)
             feats = self.state_net_1(feats)
-            logits = self.score_head(feats)[..., 0]
+            logits = self.score_head(feats)[..., 0].astype(jnp.float32)
             return logits, feats
 
         want_fwd = self.direction_mode in ("forward", "bidirectional")

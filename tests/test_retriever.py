@@ -198,3 +198,17 @@ def test_loss_grad_flows(ds):
     norms = jax.tree.map(lambda x: float(jnp.abs(x).sum()), g)
     total = sum(jax.tree.leaves(norms))
     assert np.isfinite(total) and total > 0
+
+
+def test_bf16_compute_close_to_f32(ds):
+    batch = _batch(ds, [0, 1, 2])
+    f32 = Retriever(emb_dim=EMB, hidden_dim=48, dropout_p=0.0)
+    bf16 = Retriever(emb_dim=EMB, hidden_dim=48, dropout_p=0.0, compute_dtype="bfloat16")
+    params = jax.jit(f32.init)(jax.random.key(0), batch)
+    lo32 = np.asarray(jax.jit(f32.apply)(params, batch).logits)
+    lo16 = np.asarray(jax.jit(bf16.apply)(params, batch).logits)
+    assert lo16.dtype == np.float32  # logits always f32
+    emask = np.asarray(batch.graph.edge_mask)
+    scale = np.abs(lo32[emask]).mean()
+    assert np.abs(lo32[emask] - lo16[emask]).max() < 0.2 * scale + 0.05
+    assert np.corrcoef(lo32[emask], lo16[emask])[0, 1] > 0.995
