@@ -105,6 +105,7 @@ def _retriever_model(cfg: dict):
         dde_reverse_rounds=int(m.get("dde_reverse_rounds", 2)),
         dropout_p=float(m.get("dropout_p", 0.1)),
         direction_mode=str(m.get("direction_mode", "bidirectional")),
+        compute_dtype=str(m.get("compute_dtype", "float32")),
         hide_seek_enabled=bool(m.get("hide_seek", {}).get("enabled", False)),
         hide_seek_p_near=float(m.get("hide_seek", {}).get("p_near", 0.0)),
         hide_seek_p_far=float(m.get("hide_seek", {}).get("p_far", 0.0)),
