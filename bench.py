@@ -67,10 +67,12 @@ def make_bundle(dim: int, hidden: int, struct_dim: int, seed: int = 0):
     return {"features": feats, "parity_meta": parity}
 
 
-def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5):
+def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5, engine: str = "pallas"):
+    """Time the query path.  engine: "pallas" (fused kernel) | "xla"."""
     import jax
     import jax.numpy as jnp
 
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk
     from evi_rag_tpu.ops.query import TripleIndex, query_topk
 
     index = TripleIndex(
@@ -82,8 +84,12 @@ def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5):
     bundle_j = jax.tree.map(jnp.asarray, bundle)
     q = jnp.asarray(inputs["q"])
 
-    def run():
-        return query_topk(bundle_j, q, index, k=k, chunk=chunk)
+    if engine == "pallas":
+        def run():
+            return pallas_query_topk(bundle_j, q, index, k=k, tile=256)
+    else:
+        def run():
+            return query_topk(bundle_j, q, index, k=k, chunk=chunk)
 
     def sync(x):
         # NOTE: under the remote-TPU tunnel block_until_ready does not imply
@@ -227,11 +233,20 @@ def main():
     bundle = make_bundle(dim, hidden, struct_dim)
     inputs = build_inputs(num_candidates, dim, struct_dim, batch)
 
-    qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096)
+    # Headline: the fused Pallas kernel; fall back to the pure-XLA streaming
+    # path if Mosaic compilation is unavailable in the environment.
+    engine = "pallas"
+    try:
+        qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096, engine="pallas")
+    except Exception as exc:
+        print(json.dumps({"pallas_fallback": str(exc)[:400]}), file=sys.stderr)
+        engine = "xla"
+        qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096, engine="xla")
     cpu_qps = bench_cpu_reference(bundle, inputs)
     vs = qps / cpu_qps if cpu_qps else float("nan")
 
     details = {
+        "engine": engine,
         "query_throughput_qps": round(qps, 3),
         "query_latency_ms_batch8": round(dt * 1e3, 2),
         "cpu_reference_qps": round(cpu_qps, 4) if cpu_qps else None,

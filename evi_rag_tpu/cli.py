@@ -867,6 +867,43 @@ def task_seed_stats(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     return out
 
 
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal .env autoload (the reference's rootutils dotenv behaviour,
+    ``rootutils/__init__.py``): KEY=VALUE lines, no override of existing."""
+    import os as _os
+    import pathlib as _pathlib
+
+    f = _pathlib.Path(path)
+    if not f.exists():
+        return
+    for line in f.read_text().splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        _os.environ.setdefault(key.strip(), value.strip().strip('"'))
+
+
+def print_config_tree(cfg: dict) -> None:
+    """Rich config tree at task start (reference ``rich_utils.py``)."""
+    try:
+        import rich
+        import rich.tree
+
+        def add(node, d):
+            for k, v in sorted(d.items()):
+                if isinstance(v, dict):
+                    add(node.add(f"[bold]{k}[/bold]"), v)
+                else:
+                    node.add(f"{k}: {v}")
+
+        tree = rich.tree.Tree("config")
+        add(tree, {k: v for k, v in cfg.items() if not k.startswith("_")})
+        rich.print(tree)
+    except ImportError:
+        log.info("config: %s", json.dumps(cfg, default=str))
+
+
 def apply_extras(cfg: dict) -> None:
     """Debug-profile knobs (the reference's ``trainer/quick.yaml``
     ``deterministic`` + ``detect_anomaly``): NaN detection aborts the first
@@ -907,12 +944,15 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("overrides", nargs="*", help="key=value overrides")
     args = parser.parse_args(argv)
 
+    load_dotenv()
     config_name = args.config or args.task
     cfg = load_config(args.configs_dir, config_name, args.overrides)
     cfg.setdefault("task_name", args.task)
     cfg["_configs_dir"] = args.configs_dir
     apply_extras(cfg)
     run_dir = make_run_dir(cfg)
+    if (cfg.get("extras") or {}).get("print_config", True):
+        print_config_tree(cfg)
     log.info("task=%s run_dir=%s", args.task, run_dir)
     TASKS[args.task](cfg, run_dir=run_dir)
     return 0
