@@ -208,7 +208,7 @@ def bench_train_step():
         ds.samples, num_shards=1, entity_emb=ds.entity_emb,
         relation_emb=ds.relation_emb, question_emb=ds.question_emb, bucket=bucket,
     )
-    model = Retriever(emb_dim=1024, hidden_dim=1024, dropout_p=0.1)
+    model = Retriever(emb_dim=1024, hidden_dim=1024, dropout_p=0.1, compute_dtype="bfloat16")
     cfg = RetrieverTrainConfig(k_values=(100,))
     state, tx = create_train_state(model, batch, cfg, seed=0)
     step = make_train_step(model, tx, cfg)
