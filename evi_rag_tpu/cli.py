@@ -24,11 +24,10 @@ dir (the reference's Hydra run-dir convention).
 from __future__ import annotations
 
 import argparse
-import hashlib
 import json
 import pathlib
 import sys
-from typing import Any, Callable, Iterable
+from typing import Any, Callable
 
 import numpy as np
 
@@ -327,7 +326,7 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     # in sequence, each into its own artifacts subdir.
     variants = cfg.get("eval", {}).get("datasets")
     if variants:
-        from evi_rag_tpu.utils.config import deep_merge, _load_group  # type: ignore
+        from evi_rag_tpu.utils.config import _load_group  # type: ignore
         import copy as _copy
 
         combined: dict[str, Any] = {}

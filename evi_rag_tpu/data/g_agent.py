@@ -29,7 +29,6 @@ lives in the fused query kernel (``ops/query.py``).
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
 
 import numpy as np
 

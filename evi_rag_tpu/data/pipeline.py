@@ -32,7 +32,7 @@ import json
 import pathlib
 import re
 from concurrent.futures import ProcessPoolExecutor
-from typing import Any, Iterator, Sequence
+from typing import Any, Iterator
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
-from typing import Any, Callable, Protocol
+from typing import Protocol
 from urllib import error, request
 
 Message = dict[str, str]

@@ -27,7 +27,6 @@ padded layout keeps shapes static across batches of ragged graphs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,6 @@ from typing import Any, Callable, Iterable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from evi_rag_tpu.models.batches import AgentBatch
 from evi_rag_tpu.models.gflownet.actor import ActorConfig, rollout

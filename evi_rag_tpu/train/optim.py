@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import fnmatch
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
