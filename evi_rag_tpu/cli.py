@@ -461,7 +461,9 @@ def _gfn_cfg(cfg: dict):
         max_steps=int(g.get("max_steps", 3)),
         stop_on_answer=bool(g.get("stop_on_answer", True)),
         policy_temperature=float(g.get("policy_temperature", 1.0)),
+        eval_temperature=float(g.get("eval_temperature", 1.0)),
         num_train_rollouts=int(g.get("num_train_rollouts", 4)),
+        use_state_dde=bool(g.get("use_state_dde", False)),
         reward=RewardConfig(
             success_reward=float(r.get("success_reward", 1.0)),
             failure_reward=float(r.get("failure_reward", 1e-4)),

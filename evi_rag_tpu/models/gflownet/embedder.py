@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from evi_rag_tpu.models.batches import AgentBatch
 from evi_rag_tpu.models.dde import build_node_struct_features
+from evi_rag_tpu.ops.nnfn import dense as _dense, layernorm as _layernorm, projector as _projector
 
 
 @jax.tree_util.register_dataclass
@@ -38,21 +39,6 @@ class EmbedOutputs:
     edge_tokens: jax.Array      # [E, H]
     node_tokens: jax.Array      # [N, H]
     question_tokens: jax.Array  # [G, H]
-
-
-def _dense(p: Any, x: jax.Array) -> jax.Array:
-    return x @ p["kernel"] + p["bias"]
-
-
-def _projector(p: Any, x: jax.Array) -> jax.Array:
-    """EmbeddingProjector: Linear + tanh."""
-    return jnp.tanh(_dense(p["proj"], x))
-
-
-def _layernorm(p: Any, x: jax.Array, eps: float = 1e-6) -> jax.Array:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
 def _geometry_features(

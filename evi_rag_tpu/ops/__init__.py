@@ -12,10 +12,18 @@ from evi_rag_tpu.ops.segment import (
     segment_sum,
 )
 from evi_rag_tpu.ops.graph import GraphBatch
+from evi_rag_tpu.ops.knn import knn_topk, knn_topk_sharded
+from evi_rag_tpu.ops.query import TripleIndex, build_triple_index, query_topk, query_topk_sharded
 
 __all__ = [
     "NEG_INF",
     "GraphBatch",
+    "TripleIndex",
+    "build_triple_index",
+    "knn_topk",
+    "knn_topk_sharded",
+    "query_topk",
+    "query_topk_sharded",
     "segment_argmax",
     "segment_count",
     "segment_logsumexp",

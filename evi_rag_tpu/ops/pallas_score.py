@@ -148,7 +148,7 @@ def pallas_score_bidirectional(
     interpret: bool = False,
 ) -> jax.Array:
     """[M] bidirectional scores for one query via the fused kernel."""
-    from evi_rag_tpu.models.gflownet.embedder import _dense, _projector
+    from evi_rag_tpu.ops.nnfn import dense as _dense, projector as _projector
 
     feats = bundle["features"]
     w = _prep_weights(feats)

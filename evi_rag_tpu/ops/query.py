@@ -34,7 +34,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from evi_rag_tpu.models.gflownet.embedder import _dense, _layernorm, _projector
+from evi_rag_tpu.ops.nnfn import dense as _dense, layernorm as _layernorm, projector as _projector
 
 
 @jax.tree_util.register_dataclass

@@ -248,3 +248,20 @@ def test_gfn_train_steps_reduce_loss(setup):
     hit4 = np.asarray(res["answer_hit@4"])
     valid = np.asarray(res["graph_valid"])
     assert (hit4[valid] >= hit1[valid]).all()  # best-of-k monotone
+
+
+def test_state_dde_variant(setup):
+    """use_state_dde adds struct tokens to the state without breaking training."""
+    _, batch, bundle = setup
+    cfg = dataclasses.replace(_cfg(), use_state_dde=True)
+    modules = build_modules(cfg)
+    params = init_gflownet_params(cfg, modules, bundle, batch, seed=0)
+    assert "state_dde_proj" in str(jax.tree_util.tree_structure(params["state_encoder"]))
+    tx = setup_optimizer(cfg.optimizer, params)
+    state = TrainState(
+        params=params, opt_state=jax.jit(tx.init)(params),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(3),
+    )
+    step = make_gfn_train_step(modules, tx, cfg, bundle)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
