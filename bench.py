@@ -223,6 +223,85 @@ def bench_train_step():
     return 32 / dt  # graphs/sec
 
 
+def bench_gflownet_step():
+    """Secondary: GFlowNet train-step throughput at production width
+    (4 sampled rollouts + SubTB + BC per step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.data.feeder import collate_agent, fixed_agent_bucket
+    from evi_rag_tpu.data.g_agent import AgentSettings, build_agent_sample
+    from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+    from evi_rag_tpu.models.batches import RetrieverBatch
+    from evi_rag_tpu.models.retriever import Retriever
+    from evi_rag_tpu.train.checkpoint import export_retriever_features
+    from evi_rag_tpu.train.gflownet_trainer import (
+        GFlowNetConfig,
+        build_modules,
+        init_gflownet_params,
+        make_gfn_train_step,
+    )
+    from evi_rag_tpu.train.optim import OptimizerConfig
+    from evi_rag_tpu.train.retriever_trainer import TrainState
+    from evi_rag_tpu.train.optim import setup_optimizer
+
+    emb = 1024
+    ds = make_synthetic_dataset(num_samples=16, emb_dim=emb, max_nodes=48, seed=5)
+    rng = np.random.default_rng(0)
+    agents = []
+    for s in ds.samples:
+        a = build_agent_sample(
+            sample_id=s.sample_id, question_id=s.question_id,
+            heads=s.edge_index[0], tails=s.edge_index[1], relations=s.edge_relations,
+            labels=s.edge_labels.astype(np.float32),
+            scores=rng.normal(size=s.edge_index.shape[1]).astype(np.float32) + 2 * s.edge_labels,
+            node_entity_ids=np.arange(1000, 1000 + s.num_nodes),
+            node_embedding_ids=s.node_embedding_ids,
+            start_entity_ids=1000 + s.topic_locals, answer_entity_ids=1000 + s.answer_locals,
+            settings=AgentSettings(edge_top_k=200, score_mode="logits"),
+        )
+        if a is not None:
+            agents.append(a)
+    agents = agents[:16]
+    bucket = fixed_agent_bucket(agents, 16)
+    batch = collate_agent(
+        agents, entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    retr = Retriever(emb_dim=emb, hidden_dim=emb, dropout_p=0.0)
+    rb = RetrieverBatch(
+        graph=batch.graph, node_emb=batch.node_emb, node_is_nontext=batch.node_is_nontext,
+        edge_emb=batch.edge_emb, question_emb=batch.question_emb,
+        topic_one_hot=jnp.stack(
+            [batch.node_is_start.astype(jnp.float32), 1 - batch.node_is_start.astype(jnp.float32)], -1
+        ),
+        edge_labels=batch.edge_labels, node_is_q=batch.node_is_start, node_is_a=batch.node_is_answer,
+    )
+    rp = jax.jit(retr.init)(jax.random.key(0), rb)
+    bundle = export_retriever_features(rp["params"], retr.parity_meta())
+    cfg = GFlowNetConfig(
+        hidden_dim=emb, max_steps=3, num_train_rollouts=4, bc_weight=0.5,
+        total_steps=100, dropout=0.1, optimizer=OptimizerConfig(name="adamw", learning_rate=1e-4),
+    )
+    mods = build_modules(cfg)
+    params = init_gflownet_params(cfg, mods, bundle, batch, seed=0)
+    tx = setup_optimizer(cfg.optimizer, params)
+    state = TrainState(
+        params=params, opt_state=jax.jit(tx.init)(params),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+    )
+    step = make_gfn_train_step(mods, tx, cfg, bundle)
+    state, m = step(state, batch)
+    float(m["loss"])
+    t0 = time.perf_counter()
+    iters = 5
+    for _ in range(iters):
+        state, m = step(state, batch)
+    float(m["loss"])
+    dt = (time.perf_counter() - t0) / iters
+    return 16 / dt
+
+
 def main():
     dim, hidden = 1024, 1024
     struct_dim = 2 * 2 * (1 + 2 + 2)  # edge struct = concat(head, tail) topic features
@@ -259,6 +338,10 @@ def main():
         details["train_step_graphs_per_sec"] = round(bench_train_step(), 2)
     except Exception as exc:
         details["train_error"] = str(exc)
+    try:
+        details["gflownet_step_graphs_per_sec"] = round(bench_gflownet_step(), 2)
+    except Exception as exc:
+        details["gfn_error"] = str(exc)
     print(json.dumps(details), file=sys.stderr)
     try:
         import pathlib
