@@ -58,6 +58,10 @@ class RetrieverTrainConfig:
     monitor_mode: str = "max"
     patience: int = 5
     k_values: tuple[int, ...] = (1, 10, 25, 50, 100, 200, 300, 400, 500)
+    # Rematerialize the forward pass in backward (jax.checkpoint): trades
+    # ~1/3 more FLOPs for O(1) activation memory -- lets edge buckets grow
+    # several x on a fixed HBM budget.
+    remat: bool = False
 
 
 def create_train_state(
@@ -85,9 +89,14 @@ def make_train_step(
     """Jitted update over a stacked ``[D, ...]`` batch."""
     loss_cfg = cfg.loss
 
-    def shard_loss(params, batch: RetrieverBatch, rng):
+    def _forward(params, batch: RetrieverBatch, rng):
         rngs = {"dropout": rng, "hide_seek": jax.random.fold_in(rng, 1)}
-        out = model.apply(params, batch, train=True, rngs=rngs)
+        return model.apply(params, batch, train=True, rngs=rngs)
+
+    forward = jax.checkpoint(_forward) if cfg.remat else _forward
+
+    def shard_loss(params, batch: RetrieverBatch, rng):
+        out = forward(params, batch, rng)
         lo = retriever_loss(
             out.logits,
             batch.edge_labels,
