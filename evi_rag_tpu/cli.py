@@ -144,6 +144,7 @@ def _retriever_train_cfg(cfg: dict):
         monitor_mode=str(t.get("monitor_mode", "max")),
         patience=int(t.get("patience", 5)),
         k_values=tuple(int(k) for k in t.get("k_values", DEFAULT_K_GRID)),
+        remat=bool(t.get("remat", False)),
     )
 
 
