@@ -64,6 +64,38 @@ def _geometry_features(
     return _dense(feats["state_net_1"], h)
 
 
+def _adapter_features(
+    adapter: Any,
+    *,
+    q_edge: jax.Array,
+    head_edge: jax.Array,
+    relation_edge: jax.Array,
+    tail_edge: jax.Array,
+    struct_edge: jax.Array,
+) -> jax.Array:
+    """Legacy concat-mode edge adapter: Linear -> LN -> GELU -> Linear over
+    [q ‖ h ‖ r ‖ t ‖ struct], applied as split matmuls without materializing
+    the 4H(+S) concat (the reference's split-weight trick,
+    ``gflownet_embedder.py:934-1033``)."""
+    w = adapter["dense_0"]["kernel"]
+    h = q_edge.shape[-1]
+    s = struct_edge.shape[-1]
+    if w.shape[0] != 4 * h + s:
+        raise ValueError(
+            f"edge_adapter in_dim {w.shape[0]} != 4*{h}+{s} (semantic + struct)"
+        )
+    z = (
+        q_edge @ w[:h]
+        + head_edge @ w[h : 2 * h]
+        + relation_edge @ w[2 * h : 3 * h]
+        + tail_edge @ w[3 * h : 4 * h]
+        + struct_edge @ w[4 * h :]
+        + adapter["dense_0"]["bias"]
+    )
+    z = jax.nn.gelu(_layernorm(adapter["norm"], z))
+    return _dense(adapter["dense_1"], z)
+
+
 def embed_agent_batch(
     bundle: dict[str, Any],
     batch: AgentBatch,
@@ -104,14 +136,29 @@ def embed_agent_batch(
     q_edge = question_tokens[gb.edge_batch]
     head_edge = node_tokens[heads]
     tail_edge = node_tokens[tails]
-    fwd = _geometry_features(
-        feats, q_edge=q_edge, head_edge=head_edge, relation_edge=relation_tokens,
-        tail_edge=tail_edge, struct_edge=struct_fwd,
-    )
-    bwd = _geometry_features(
-        feats, q_edge=q_edge, head_edge=tail_edge, relation_edge=relation_tokens,
-        tail_edge=head_edge, struct_edge=struct_bwd,
-    )
+    edge_mode = bundle.get("edge_mode", "geometry")
+    if edge_mode == "concat":
+        # Legacy concat-mode checkpoints (reference embedder path :442-487).
+        adapter = feats["edge_adapter"]
+        fwd = _adapter_features(
+            adapter, q_edge=q_edge, head_edge=head_edge, relation_edge=relation_tokens,
+            tail_edge=tail_edge, struct_edge=struct_fwd,
+        )
+        bwd = _adapter_features(
+            adapter, q_edge=q_edge, head_edge=tail_edge, relation_edge=relation_tokens,
+            tail_edge=head_edge, struct_edge=struct_bwd,
+        )
+    elif edge_mode == "geometry":
+        fwd = _geometry_features(
+            feats, q_edge=q_edge, head_edge=head_edge, relation_edge=relation_tokens,
+            tail_edge=tail_edge, struct_edge=struct_fwd,
+        )
+        bwd = _geometry_features(
+            feats, q_edge=q_edge, head_edge=tail_edge, relation_edge=relation_tokens,
+            tail_edge=head_edge, struct_edge=struct_bwd,
+        )
+    else:
+        raise ValueError(f"unknown edge_mode {edge_mode!r}")
     edge_tokens = 0.5 * (fwd + bwd)
     score_in = batch.edge_scores.astype(edge_tokens.dtype)[:, None]
     edge_tokens = edge_tokens + _dense(edge_score_proj, score_in)

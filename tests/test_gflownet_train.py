@@ -265,3 +265,51 @@ def test_state_dde_variant(setup):
     step = make_gfn_train_step(modules, tx, cfg, bundle)
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_concat_mode_embedder(setup):
+    """Legacy concat-mode bundle: split-weight adapter == dense concat."""
+    from evi_rag_tpu.models.gflownet.embedder import _adapter_features
+
+    _, batch, bundle = setup
+    rng = np.random.default_rng(4)
+    H, S = EMB, 2 * 2 * (1 + 2 + 2)
+    adapter = {
+        "dense_0": {
+            "kernel": jnp.asarray(rng.normal(size=(4 * H + S, H)).astype(np.float32)),
+            "bias": jnp.zeros(H),
+        },
+        "norm": {"scale": jnp.ones(H), "bias": jnp.zeros(H)},
+        "dense_1": {
+            "kernel": jnp.asarray(rng.normal(size=(H, H)).astype(np.float32)),
+            "bias": jnp.zeros(H),
+        },
+    }
+    E = 7
+    q = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    h = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    r = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    t = jnp.asarray(rng.normal(size=(E, H)).astype(np.float32))
+    s = jnp.asarray(rng.normal(size=(E, S)).astype(np.float32))
+    got = _adapter_features(adapter, q_edge=q, head_edge=h, relation_edge=r, tail_edge=t, struct_edge=s)
+    # Dense reference.
+    concat = jnp.concatenate([q, h, r, t, s], axis=-1)
+    z = concat @ adapter["dense_0"]["kernel"] + adapter["dense_0"]["bias"]
+    mean = z.mean(-1, keepdims=True)
+    var = ((z - mean) ** 2).mean(-1, keepdims=True)
+    z = (z - mean) * jax.lax.rsqrt(var + 1e-6)
+    want = jax.nn.gelu(z) @ adapter["dense_1"]["kernel"] + adapter["dense_1"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    # Full embed path with a concat bundle.
+    concat_bundle = {
+        "edge_mode": "concat",
+        "parity_meta": bundle["parity_meta"],
+        "features": {
+            **{k: bundle["features"][k] for k in ("entity_proj", "relation_proj", "query_proj", "non_text_entity_emb")},
+            "edge_adapter": adapter,
+        },
+    }
+    out = embed_agent_batch(concat_bundle, batch, edge_score_proj=init_edge_score_proj(H))
+    assert out.edge_tokens.shape == (batch.graph.num_edges, H)
+    assert np.isfinite(np.asarray(out.edge_tokens)).all()
