@@ -93,13 +93,22 @@ def _vocab_maps(cfg: dict) -> tuple[dict[int, str], dict[int, str]]:
     )
 
 
-def _retriever_model(cfg: dict):
+def _resolve_dim(value, inferred: int | None, name: str) -> int:
+    if value == "auto" or value is None:
+        if inferred is None:
+            raise ConfigError(f"retriever.model.{name}=auto requires loaded embeddings")
+        return int(inferred)
+    return int(value)
+
+
+def _retriever_model(cfg: dict, *, inferred_dim: int | None = None):
     from evi_rag_tpu.models.retriever import Retriever
 
     m = cfg.get("retriever", {}).get("model", {})
+    emb_dim = _resolve_dim(m.get("emb_dim", 64), inferred_dim, "emb_dim")
     return Retriever(
-        emb_dim=int(m.get("emb_dim", 64)),
-        hidden_dim=int(m.get("hidden_dim", 64)),
+        emb_dim=emb_dim,
+        hidden_dim=_resolve_dim(m.get("hidden_dim", emb_dim), inferred_dim, "hidden_dim"),
         dde_rounds=int(m.get("dde_rounds", 2)),
         dde_reverse_rounds=int(m.get("dde_reverse_rounds", 2)),
         dropout_p=float(m.get("dropout_p", 0.1)),
@@ -232,13 +241,18 @@ def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     from evi_rag_tpu.train.retriever_trainer import fit, make_eval_step, evaluate
 
     _enforce_sub_training_scope(cfg, "train_retriever")
-    model = _retriever_model(cfg)
     tcfg = _retriever_train_cfg(cfg)
     t = cfg.get("retriever", {}).get("train", {})
     num_shards = int(t.get("num_shards", 1))
     per_shard = int(t.get("per_shard_batch", 8))
 
     train_samples, ent, rel, q_train = _load_split(cfg, "train")
+    model = _retriever_model(cfg, inferred_dim=ent.shape[1])
+    if model.emb_dim != ent.shape[1]:
+        raise ConfigError(
+            f"retriever.model.emb_dim={model.emb_dim} != embedding table dim "
+            f"{ent.shape[1]}; set retriever.model.emb_dim=auto or rebuild"
+        )
     val_samples, _, _, q_val = _load_split(cfg, "validation")
     bucket = fixed_bucket_for(list(train_samples) + list(val_samples), per_shard)
 
@@ -256,9 +270,19 @@ def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                 question_emb=q_val, bucket=bucket,
             )
 
+    mesh = None
+    if num_shards > 1:
+        if num_shards > len(jax.devices()):
+            raise ConfigError(
+                f"retriever.train.num_shards={num_shards} > available devices "
+                f"{len(jax.devices())}"
+            )
+        from evi_rag_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(num_shards)
     best_params, info = fit(
         model, tcfg, train_batches, val_batches,
-        seed=int(t.get("seed", 0)), resume_from=t.get("resume_from"),
+        seed=int(t.get("seed", 0)), resume_from=t.get("resume_from"), mesh=mesh,
     )
     mlog = MetricLogger(run_dir)
     for h in info["history"]:
@@ -348,11 +372,12 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         save_metrics_json(run_dir / "metrics.json", combined)
         return combined
 
-    model = _retriever_model(cfg)
-    params, _meta = _load_retriever_ckpt(cfg, model)
-    tcfg = _retriever_train_cfg(cfg)
     e = cfg.get("eval", {})
     splits = list(e.get("splits", ["validation", "test"]))
+    first_samples, first_ent, first_rel, first_q = _load_split(cfg, splits[0])
+    model = _retriever_model(cfg, inferred_dim=first_ent.shape[1])
+    params, _meta = _load_retriever_ckpt(cfg, model)
+    tcfg = _retriever_train_cfg(cfg)
     artifacts_dir = pathlib.Path(e.get("artifacts_dir", run_dir / "artifacts"))
     ag = e.get("g_agent", {})
     settings = AgentSettings(
@@ -449,7 +474,7 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     return all_metrics
 
 
-def _gfn_cfg(cfg: dict):
+def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
     from evi_rag_tpu.models.gflownet.reward import RewardConfig
     from evi_rag_tpu.train.gflownet_trainer import GFlowNetConfig
     from evi_rag_tpu.train.optim import OptimizerConfig
@@ -458,7 +483,7 @@ def _gfn_cfg(cfg: dict):
     r = g.get("reward", {})
     o = g.get("optimizer", {})
     return GFlowNetConfig(
-        hidden_dim=int(g.get("hidden_dim", 64)),
+        hidden_dim=_resolve_dim(g.get("hidden_dim", 64), inferred_dim, "hidden_dim"),
         max_steps=int(g.get("max_steps", 3)),
         stop_on_answer=bool(g.get("stop_on_answer", True)),
         policy_temperature=float(g.get("policy_temperature", 1.0)),
@@ -526,7 +551,13 @@ def task_train_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         raise ConfigError("train_gflownet requires retriever.ckpt (reference train.py:53-84)")
     tree, rmeta = load_checkpoint(ckpt)
     bundle = export_retriever_features(tree["params"], rmeta["parity_meta"])
-    gcfg = _gfn_cfg(cfg)
+    bundle_dim = int(np.asarray(bundle["features"]["q_gate"]["kernel"]).shape[0])
+    gcfg = _gfn_cfg(cfg, inferred_dim=bundle_dim)
+    if gcfg.hidden_dim != bundle_dim:
+        raise ConfigError(
+            f"gflownet.hidden_dim={gcfg.hidden_dim} != retriever feature dim "
+            f"{bundle_dim}; set gflownet.hidden_dim=auto"
+        )
     bs = int(cfg.get("gflownet", {}).get("batch_size", 8))
 
     _, train_batches = _agent_batches_fn(cfg, "train", bs)
@@ -588,7 +619,7 @@ def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             {k: int(v) for k, v in recorded.items()},
             {k: int(v) for k, v in bundle["parity_meta"].items()},
         )
-    gcfg = _gfn_cfg(cfg)
+    gcfg = _gfn_cfg(cfg, inferred_dim=int(np.asarray(bundle["features"]["q_gate"]["kernel"]).shape[0]))
     modules = build_modules(gcfg)
     bs = int(cfg.get("gflownet", {}).get("batch_size", 8))
     num_rollouts = int(cfg.get("gflownet", {}).get("eval_rollouts", max(gcfg.eval_rollout_prefixes)))

@@ -238,6 +238,7 @@ def fit(
     seed: int = 0,
     log_every: int = 50,
     resume_from: str | None = None,
+    mesh=None,
 ) -> tuple[Any, dict[str, Any]]:
     """Epoch loop with monitored early stopping; returns (best_params, history).
 
@@ -246,6 +247,12 @@ def fit(
     """
     first = next(iter(train_batches(0)))
     state, tx = create_train_state(model, first, cfg, seed=seed)
+    place = lambda b: b  # noqa: E731
+    if mesh is not None:
+        from evi_rag_tpu.parallel.mesh import replicated, shard_batch
+
+        state = jax.device_put(state, replicated(mesh))
+        place = lambda b: shard_batch(b, mesh)  # noqa: E731
     if resume_from:
         import json as _json
         import pathlib as _pathlib
@@ -282,7 +289,7 @@ def fit(
         from evi_rag_tpu.data.feeder import prefetch
 
         for batch in prefetch(iter(train_batches(epoch))):
-            state, metrics = train_step(state, batch)
+            state, metrics = train_step(state, place(batch))
             n_steps += 1
             if n_steps % log_every == 0:
                 last_loss = float(metrics["loss"])
