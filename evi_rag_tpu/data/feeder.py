@@ -308,6 +308,30 @@ def collate_agent(
     )
 
 
+def collate_agent_stacked(
+    samples: Sequence[AgentSample],
+    *,
+    num_shards: int,
+    entity_emb: np.ndarray,
+    relation_emb: np.ndarray,
+    question_emb: np.ndarray,
+    bucket: Bucket,
+) -> AgentBatch:
+    """Stacked data-parallel agent collation (``[D, ...]`` leading axis)."""
+    if len(samples) % num_shards != 0:
+        raise ValueError(f"{len(samples)} samples not divisible by {num_shards} shards")
+    per = len(samples) // num_shards
+    shards = [
+        collate_agent(
+            samples[i * per : (i + 1) * per],
+            entity_emb=entity_emb, relation_emb=relation_emb,
+            question_emb=question_emb, bucket=bucket,
+        )
+        for i in range(num_shards)
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *shards)
+
+
 def fixed_agent_bucket(samples: Sequence[AgentSample], batch_size: int) -> Bucket:
     ns = [s.num_nodes for s in samples]
     es = [s.num_edges for s in samples]

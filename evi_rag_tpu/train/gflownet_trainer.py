@@ -230,10 +230,14 @@ def make_gfn_train_step(
     cfg: GFlowNetConfig,
     bundle: dict[str, Any],
 ) -> Callable[[TrainState, AgentBatch], tuple[TrainState, dict[str, jax.Array]]]:
+    """Jitted update.  Accepts a flat AgentBatch or a stacked ``[D, ...]``
+    batch for data-parallel training over a mesh (same vmap-over-shards
+    pattern as the retriever step)."""
+
     @jax.jit
     def step(state: TrainState, batch: AgentBatch):
         rng, sub = jax.random.split(state.rng)
-        rngs = jax.random.split(sub, cfg.num_train_rollouts)
+        stacked = batch.question_emb.ndim == 3
         bc_w = bc_weight_schedule(
             state.step,
             bc_weight=cfg.bc_weight,
@@ -242,11 +246,24 @@ def make_gfn_train_step(
             decay_steps=int(round(cfg.total_steps * cfg.bc_decay_ratio)),
         )
 
-        def loss_fn(params):
+        def shard_loss(params, shard_batch, shard_rng):
+            rngs = jax.random.split(shard_rng, cfg.num_train_rollouts)
             return _rollout_losses(
-                params, modules, bundle, batch, rngs, cfg,
+                params, modules, bundle, shard_batch, rngs, cfg,
                 bc_weight=bc_w, temperature=cfg.policy_temperature, train=True,
             )
+
+        if stacked:
+            def loss_fn(params):
+                d = batch.question_emb.shape[0]
+                keys = jax.random.split(sub, d)
+                losses, metrics = jax.vmap(shard_loss, in_axes=(None, 0, 0))(
+                    params, batch, keys
+                )
+                return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
+        else:
+            def loss_fn(params):
+                return shard_loss(params, batch, sub)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

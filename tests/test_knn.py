@@ -62,3 +62,37 @@ def test_knn_sharded_matches_single(data):
     np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), rtol=1e-5)
     for b in range(B):
         assert set(np.asarray(i_got[b]).tolist()) == set(np.asarray(i_ref[b]).tolist())
+
+
+def test_build_triple_index():
+    """build_triple_index pre-applies projections + non-text override."""
+    import jax.numpy as jnp
+
+    from bench import make_bundle
+    from evi_rag_tpu.ops.query import build_triple_index
+
+    rng = np.random.default_rng(0)
+    Dd = 32
+    bundle = jax.tree.map(jnp.asarray, make_bundle(Dd, Dd, 20, seed=3))
+    ent = jnp.asarray(rng.normal(size=(20, Dd)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(6, Dd)).astype(np.float32))
+    nontext = jnp.zeros(20, bool).at[3].set(True)
+    heads = jnp.asarray([0, 3, 5])
+    rels = jnp.asarray([0, 1, 2])
+    tails = jnp.asarray([3, 5, 0])
+    struct = jnp.asarray(rng.normal(size=(3, 20)).astype(np.float32))
+    idx = build_triple_index(
+        bundle, entity_emb=ent, relation_emb=rel, nontext_mask=nontext,
+        heads=heads, rels=rels, tails=tails, struct_raw=struct,
+    )
+    assert idx.head_repr.shape == (3, Dd)
+    # Projection applied: row equals tanh(dense(ent_row)).
+    feats = bundle["features"]
+    want = np.tanh(np.asarray(ent[0]) @ np.asarray(feats["entity_proj"]["proj"]["kernel"])
+                   + np.asarray(feats["entity_proj"]["proj"]["bias"]))
+    np.testing.assert_allclose(np.asarray(idx.head_repr[0]), want, rtol=1e-5)
+    # Non-text entity (id 3) uses the learned non-text embedding for both
+    # occurrences (head of candidate 1, tail of candidate 0).
+    np.testing.assert_allclose(
+        np.asarray(idx.head_repr[1]), np.asarray(idx.tail_repr[0]), rtol=1e-6
+    )

@@ -97,3 +97,75 @@ def test_multihost_gather_single_process():
         return "done"
 
     assert write() == "done" and calls == [1]
+
+
+def test_gflownet_stacked_dp_step():
+    """GFlowNet stacked-DP step runs over the 8-device mesh with finite loss."""
+    from evi_rag_tpu.data.feeder import collate_agent_stacked, fixed_agent_bucket
+    from evi_rag_tpu.data.g_agent import AgentSettings, build_agent_sample
+    from evi_rag_tpu.models.batches import RetrieverBatch
+    from evi_rag_tpu.train.checkpoint import export_retriever_features
+    from evi_rag_tpu.train.gflownet_trainer import (
+        GFlowNetConfig,
+        build_modules,
+        init_gflownet_params,
+        make_gfn_train_step,
+    )
+    from evi_rag_tpu.train.optim import OptimizerConfig, setup_optimizer
+    from evi_rag_tpu.train.retriever_trainer import TrainState
+
+    EMB = 16
+    ds = make_synthetic_dataset(num_samples=32, emb_dim=EMB, max_nodes=10, seed=9)
+    rng = np.random.default_rng(0)
+    agents = []
+    for s in ds.samples:
+        a = build_agent_sample(
+            sample_id=s.sample_id, question_id=s.question_id,
+            heads=s.edge_index[0], tails=s.edge_index[1], relations=s.edge_relations,
+            labels=s.edge_labels.astype(np.float32),
+            scores=rng.normal(size=s.edge_index.shape[1]).astype(np.float32),
+            node_entity_ids=np.arange(1000, 1000 + s.num_nodes),
+            node_embedding_ids=s.node_embedding_ids,
+            start_entity_ids=1000 + s.topic_locals, answer_entity_ids=1000 + s.answer_locals,
+            settings=AgentSettings(edge_top_k=20, score_mode="logits"),
+        )
+        if a is not None:
+            agents.append(a)
+    agents = agents[:16]
+    bucket = fixed_agent_bucket(agents, 2)
+    kw = dict(entity_emb=ds.entity_emb, relation_emb=ds.relation_emb, question_emb=ds.question_emb)
+    stacked = collate_agent_stacked(agents, num_shards=8, bucket=bucket, **kw)
+    flat = jax.tree.map(lambda x: x[0], stacked)
+
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    rb = RetrieverBatch(
+        graph=flat.graph, node_emb=flat.node_emb, node_is_nontext=flat.node_is_nontext,
+        edge_emb=flat.edge_emb, question_emb=flat.question_emb,
+        topic_one_hot=jnp.stack(
+            [flat.node_is_start.astype(jnp.float32), 1 - flat.node_is_start.astype(jnp.float32)], -1
+        ),
+        edge_labels=flat.edge_labels, node_is_q=flat.node_is_start, node_is_a=flat.node_is_answer,
+    )
+    rp = jax.jit(model.init)(jax.random.key(0), rb)
+    bundle = export_retriever_features(rp["params"], model.parity_meta())
+    cfg = GFlowNetConfig(
+        hidden_dim=EMB, max_steps=2, num_train_rollouts=2, bc_weight=0.5,
+        total_steps=10, dropout=0.0, optimizer=OptimizerConfig(name="adamw", learning_rate=1e-3),
+    )
+    mods = build_modules(cfg)
+    params = init_gflownet_params(cfg, mods, bundle, flat, seed=0)
+    tx = setup_optimizer(cfg.optimizer, params)
+    state = TrainState(
+        params=params, opt_state=jax.jit(tx.init)(params),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(2),
+    )
+    step = make_gfn_train_step(mods, tx, cfg, bundle)
+
+    mesh = make_mesh(8)
+    state_sh = jax.device_put(state, __import__("evi_rag_tpu.parallel.mesh", fromlist=["replicated"]).replicated(mesh))
+    from evi_rag_tpu.parallel.mesh import shard_batch
+
+    stacked_sh = shard_batch(stacked, mesh)
+    new_state, m = step(state_sh, stacked_sh)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["answer_hit"]))
