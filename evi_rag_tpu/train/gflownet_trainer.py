@@ -283,7 +283,15 @@ def make_gfn_eval_step(
     *,
     num_rollouts: int | None = None,
 ) -> Callable[[dict, AgentBatch, jax.Array], dict[str, jax.Array]]:
-    """Best-of-k eval: answer_hit@{k} prefixes over sampled rollouts."""
+    """Best-of-k eval: answer_hit@{k} prefixes over sampled rollouts.
+
+    Deviation from the reference: dummy agents (answer absent from the
+    subgraph) are *excluded* from the answer_hit denominators via
+    ``graph_valid``; the reference averages them in as guaranteed misses
+    (``gflownet_module.py:623-634``).  Excluding them keeps the metric a
+    property of the policy rather than of retrieval coverage -- coverage is
+    already measured by ``answer/reachability@k``.
+    """
     ks = tuple(cfg.eval_rollout_prefixes)
     r = num_rollouts if num_rollouts is not None else max(ks)
 
