@@ -74,3 +74,19 @@ def test_scatter_node_values():
     np.testing.assert_array_equal(out[:3], 1.0)
     np.testing.assert_array_equal(out[3:5], 2.0)
     np.testing.assert_array_equal(out[5:], 0.0)
+
+
+def test_profiling_helpers(tmp_path):
+    """annotate/trace/device_memory_stats run without error."""
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.utils.profiling import annotate, device_memory_stats, trace
+
+    with annotate("unit-test-region"):
+        x = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert float(x[0, 0]) == 8.0
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)
+    with trace(tmp_path / "trace"):
+        (jnp.ones((4, 4)) * 2).block_until_ready()
+    assert any((tmp_path / "trace").rglob("*")), "no trace artifacts written"
