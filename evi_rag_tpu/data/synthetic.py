@@ -45,6 +45,8 @@ def make_synthetic_dataset(
     path_len_range: tuple[int, int] = (1, 3),
     avg_extra_edges: float = 2.0,
     nontext_fraction: float = 0.1,
+    num_seeds: int = 1,
+    num_answers: int = 1,
     seed: int = 0,
 ) -> SyntheticDataset:
     rng = np.random.default_rng(seed)
@@ -57,9 +59,26 @@ def make_synthetic_dataset(
     for qid in range(num_samples):
         n = int(rng.integers(min_nodes, max_nodes + 1))
         plen = int(rng.integers(path_len_range[0], path_len_range[1] + 1))
-        plen = min(plen, n - 1)
-        # Plant the path 0 -> 1 -> ... -> plen.
+        plen = min(plen, max(n - 1, 1))
+        # Plant the path 0 -> 1 -> ... -> plen; extra seeds/answers attach to it
+        # (multi-pair supervision like real multi-entity questions).
         path_edges = [(i, i + 1) for i in range(plen)]
+        extra_seeds = []
+        extra_answers = []
+        free = list(range(plen + 1, n))
+        rng.shuffle(free)
+        for _ in range(max(num_seeds - 1, 0)):
+            if not free:
+                break
+            v = free.pop()
+            path_edges.append((v, 0))  # one hop into the main path start
+            extra_seeds.append(v)
+        for _ in range(max(num_answers - 1, 0)):
+            if not free:
+                break
+            v = free.pop()
+            path_edges.append((plen, v))  # one hop past the main answer
+            extra_answers.append(v)
         # Distractor edges biased away from shortcutting the path.
         extra = int(rng.poisson(avg_extra_edges * n))
         src = rng.integers(0, n, size=extra)
@@ -73,8 +92,8 @@ def make_synthetic_dataset(
         nontext = rng.random(n) < nontext_fraction
         emb_ids[nontext] = 0
 
-        topic = np.asarray([0], dtype=np.int64)
-        answer = np.asarray([plen], dtype=np.int64)
+        topic = np.asarray([0] + extra_seeds, dtype=np.int64)
+        answer = np.asarray([plen] + extra_answers, dtype=np.int64)
         mask, ps, pa, _, _, plens = shortest_path_union_by_pair(
             num_nodes=n,
             edge_src=edge_index[0],

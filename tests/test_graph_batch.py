@@ -90,3 +90,18 @@ def test_profiling_helpers(tmp_path):
     with trace(tmp_path / "trace"):
         (jnp.ones((4, 4)) * 2).block_until_ready()
     assert any((tmp_path / "trace").rglob("*")), "no trace artifacts written"
+
+
+def test_synthetic_multi_seed_answer():
+    from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(
+        num_samples=6, emb_dim=8, max_nodes=16, num_seeds=2, num_answers=2, seed=3
+    )
+    multi = [s for s in ds.samples if s.topic_locals.size > 1 and s.answer_locals.size > 1]
+    assert multi, "expected multi-seed/answer samples"
+    for s in ds.samples:
+        s.validate()
+        # Pair supervision covers every reachable (seed, answer) combination.
+        assert s.pair_start_local.size >= 1
+        assert s.edge_labels.any()
