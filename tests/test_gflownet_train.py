@@ -313,3 +313,27 @@ def test_concat_mode_embedder(setup):
     out = embed_agent_batch(concat_bundle, batch, edge_score_proj=init_edge_score_proj(H))
     assert out.edge_tokens.shape == (batch.graph.num_edges, H)
     assert np.isfinite(np.asarray(out.edge_tokens)).all()
+
+
+def test_training_with_dummy_agents_is_finite(setup):
+    """Dummy agents (answer absent) carry -inf log-reward; the loss masking
+    must keep gradients finite (reference zeroes dummies for the loss,
+    gflownet_module.py:520-550)."""
+    ds, batch, bundle = setup
+    # Mark one real graph as dummy.
+    dummy = np.asarray(batch.is_dummy).copy()
+    dummy[0] = True
+    batch_d = dataclasses.replace(batch, is_dummy=jnp.asarray(dummy))
+    cfg = _cfg()
+    modules = build_modules(cfg)
+    params = init_gflownet_params(cfg, modules, bundle, batch_d, seed=0)
+    tx = setup_optimizer(cfg.optimizer, params)
+    state = TrainState(
+        params=params, opt_state=jax.jit(tx.init)(params),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(5),
+    )
+    step = make_gfn_train_step(modules, tx, cfg, bundle)
+    state2, m = step(state, batch_d)
+    assert np.isfinite(float(m["loss"]))
+    for leaf in jax.tree.leaves(state2.params):
+        assert np.isfinite(np.asarray(leaf)).all()
