@@ -1,0 +1,69 @@
+"""Training scorer vs serving query engine: exact score parity.
+
+The north-star contract: a user who trains the retriever and then serves it
+through the index+query engine must get the *same* triple scores.  This
+builds a ``TripleIndex`` from one sample's candidates (projections
+pre-applied from raw embeddings, struct features from the sample's DDE) and
+checks ``score_all`` reproduces ``Retriever.apply`` logits exactly (f32).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evi_rag_tpu.data.feeder import Bucket, collate_retriever
+from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+from evi_rag_tpu.models.dde import build_node_struct_features
+from evi_rag_tpu.models.retriever import Retriever
+from evi_rag_tpu.ops.query import build_triple_index, query_topk, score_all
+from evi_rag_tpu.train.checkpoint import export_retriever_features
+
+EMB = 32
+
+
+def test_training_vs_serving_scores():
+    ds = make_synthetic_dataset(num_samples=2, emb_dim=EMB, max_nodes=14, seed=11)
+    s = ds.samples[0]
+    bucket = Bucket(graphs=2, nodes=32, edges=128)
+    batch = collate_retriever(
+        [s], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    params = jax.jit(model.init)(jax.random.key(0), batch)
+    train_logits = np.asarray(jax.jit(model.apply)(params, batch).logits)
+    ne = s.edge_index.shape[1]
+
+    # Serving: index build from raw tables + the exported bundle.
+    bundle = export_retriever_features(params["params"], model.parity_meta())
+    node_struct = build_node_struct_features(
+        batch.topic_one_hot, batch.graph.edge_index,
+        num_rounds=2, num_reverse_rounds=2, edge_mask=batch.graph.edge_mask,
+    )
+    heads_g = batch.graph.heads[:ne]
+    tails_g = batch.graph.tails[:ne]
+    struct_raw = jnp.concatenate([node_struct[heads_g], node_struct[tails_g]], axis=-1)
+    nontext = jnp.asarray(s.node_embedding_ids == 0)
+    index = build_triple_index(
+        bundle,
+        entity_emb=jnp.asarray(ds.entity_emb[s.node_embedding_ids]),
+        relation_emb=jnp.asarray(ds.relation_emb),
+        nontext_mask=nontext,
+        heads=jnp.asarray(s.edge_index[0]),
+        rels=jnp.asarray(s.edge_relations),
+        tails=jnp.asarray(s.edge_index[1]),
+        struct_raw=struct_raw,
+    )
+    q = jnp.asarray(ds.question_emb[s.question_id : s.question_id + 1])
+    serve_logits = np.asarray(score_all(bundle, q, index, dtype=jnp.float32)[0])
+    np.testing.assert_allclose(serve_logits, train_logits[:ne], rtol=1e-4, atol=1e-5)
+
+    # And the streaming top-k returns the true argmax set.
+    k = min(10, ne)
+    vals, ids = jax.jit(
+        lambda b, qq, ix: query_topk(b, qq, ix, k=k, chunk=32, dtype=jnp.float32),
+        static_argnames=(),
+    )(bundle, q, index)
+    want_ids = np.argsort(-train_logits[:ne], kind="stable")[:k]
+    assert set(np.asarray(ids[0]).tolist()) == set(want_ids.tolist())
