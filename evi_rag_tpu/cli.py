@@ -408,6 +408,11 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         split_metrics = evaluate(params, eval_step, batches())
         all_metrics.update({f"{split}/{k}": v for k, v in split_metrics.items()})
 
+        if not bool(e.get("write_artifacts", True)):
+            # Metric-only mode (the reference's run.eval_mode=test without
+            # materialization callbacks).
+            continue
+
         # Per-sample scores for artifact generation.
         agent_samples = []
         topk_records = []

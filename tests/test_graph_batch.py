@@ -105,3 +105,22 @@ def test_synthetic_multi_seed_answer():
         # Pair supervision covers every reachable (seed, answer) combination.
         assert s.pair_start_local.size >= 1
         assert s.edge_labels.any()
+
+
+def test_iter_retriever_batches_shuffle_droplast():
+    from evi_rag_tpu.data.feeder import Bucket, iter_retriever_batches
+    from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(num_samples=10, emb_dim=8, max_nodes=10, seed=2)
+    kw = dict(entity_emb=ds.entity_emb, relation_emb=ds.relation_emb, question_emb=ds.question_emb)
+    bucket = Bucket(graphs=4, nodes=64, edges=256)
+    batches = list(iter_retriever_batches(ds.samples, batch_size=3, bucket=bucket, **kw))
+    assert len(batches) == 4  # 3+3+3+1
+    batches = list(
+        iter_retriever_batches(ds.samples, batch_size=3, bucket=bucket, drop_last=True, **kw)
+    )
+    assert len(batches) == 3
+    # Shuffle with different seeds yields different orderings (question rows).
+    a = next(iter(iter_retriever_batches(ds.samples, batch_size=3, bucket=bucket, shuffle=True, seed=0, **kw)))
+    b = next(iter(iter_retriever_batches(ds.samples, batch_size=3, bucket=bucket, shuffle=True, seed=1, **kw)))
+    assert not np.allclose(np.asarray(a.question_emb), np.asarray(b.question_emb))
