@@ -983,6 +983,12 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
 
     load_dotenv()
+    # DCN coordination must precede any backend-touching JAX call (see
+    # parallel/multihost.py); a no-op unless EVI_COORDINATOR_ADDRESS /
+    # EVI_DISTRIBUTED is set.
+    from evi_rag_tpu.parallel.multihost import initialize_distributed
+
+    initialize_distributed()
     config_name = args.config or args.task
     cfg = load_config(args.configs_dir, config_name, args.overrides)
     cfg.setdefault("task_name", args.task)

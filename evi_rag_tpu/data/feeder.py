@@ -332,16 +332,21 @@ def collate_agent_stacked(
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *shards)
 
 
+def _worst_batch_sum(values: Sequence[int], batch_size: int) -> int:
+    """Upper bound on any batch's total under ANY ordering: the sum of the
+    ``batch_size`` largest samples.  Sizing buckets from contiguous windows
+    races with shuffling (a shuffled batch can exceed the bucket mid-epoch);
+    this bound cannot."""
+    return int(sum(sorted(values, reverse=True)[:batch_size]))
+
+
 def fixed_agent_bucket(samples: Sequence[AgentSample], batch_size: int) -> Bucket:
-    ns = [s.num_nodes for s in samples]
-    es = [s.num_edges for s in samples]
-    ps = [s.pair_start_local.shape[0] for s in samples]
-    worst_n = worst_e = worst_p = 0
-    for i in range(0, len(samples), batch_size):
-        worst_n = max(worst_n, sum(ns[i : i + batch_size]))
-        worst_e = max(worst_e, sum(es[i : i + batch_size]))
-        worst_p = max(worst_p, sum(ps[i : i + batch_size]))
-    return Bucket.for_batch(batch_size, worst_n, worst_e, worst_p)
+    return Bucket.for_batch(
+        batch_size,
+        _worst_batch_sum([s.num_nodes for s in samples], batch_size),
+        _worst_batch_sum([s.num_edges for s in samples], batch_size),
+        _worst_batch_sum([s.pair_start_local.shape[0] for s in samples], batch_size),
+    )
 
 
 def collate_stacked(
@@ -405,15 +410,11 @@ def iter_stacked_batches(
 
 
 def fixed_bucket_for(samples: Sequence[SyntheticSample], batch_size: int) -> Bucket:
-    """One bucket covering the worst-case batch => exactly one compile."""
-    worst_nodes = 0
-    worst_edges = 0
-    worst_pairs = 0
-    ns = [s.num_nodes for s in samples]
-    es = [s.edge_index.shape[1] for s in samples]
-    ps = [s.pair_start_local.shape[0] for s in samples]
-    for i in range(0, len(samples), batch_size):
-        worst_nodes = max(worst_nodes, sum(ns[i : i + batch_size]))
-        worst_edges = max(worst_edges, sum(es[i : i + batch_size]))
-        worst_pairs = max(worst_pairs, sum(ps[i : i + batch_size]))
-    return Bucket.for_batch(batch_size, worst_nodes, worst_edges, worst_pairs)
+    """One bucket covering the worst-case batch under any shuffle order =>
+    exactly one compile, and no collation path can overflow mid-epoch."""
+    return Bucket.for_batch(
+        batch_size,
+        _worst_batch_sum([s.num_nodes for s in samples], batch_size),
+        _worst_batch_sum([s.edge_index.shape[1] for s in samples], batch_size),
+        _worst_batch_sum([s.pair_start_local.shape[0] for s in samples], batch_size),
+    )

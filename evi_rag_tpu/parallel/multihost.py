@@ -18,20 +18,51 @@ from __future__ import annotations
 
 import functools
 import json
+import os
 from typing import Any, Callable, Sequence
 
 import jax
 import numpy as np
 
+_distributed_initialized = False
 
-def initialize_distributed(**kwargs: Any) -> None:
-    """Idempotent ``jax.distributed.initialize`` (DCN coordination)."""
-    if jax.process_count() > 1:
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+    **kwargs: Any,
+) -> None:
+    """Idempotent ``jax.distributed.initialize`` (DCN coordination).
+
+    MUST run before any backend-touching JAX call (``jax.devices()``,
+    ``jax.process_count()``, any computation): querying the backend first
+    initializes the local runtime, after which distributed init silently
+    degrades to a no-op.  Coordination parameters come from explicit
+    arguments or the ``EVI_COORDINATOR_ADDRESS`` / ``EVI_NUM_PROCESSES`` /
+    ``EVI_PROCESS_ID`` environment (set ``EVI_DISTRIBUTED=1`` to rely on
+    JAX cluster auto-detection, e.g. on TPU pods).  With none of these the
+    call is a single-process no-op.  Errors propagate — a misconfigured
+    multi-host launch must fail loudly, not fall back to 1 process.
+    """
+    global _distributed_initialized
+    if _distributed_initialized:
         return
-    try:
-        jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized or single-process
+    coordinator_address = coordinator_address or os.environ.get("EVI_COORDINATOR_ADDRESS")
+    if num_processes is None and os.environ.get("EVI_NUM_PROCESSES"):
+        num_processes = int(os.environ["EVI_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("EVI_PROCESS_ID"):
+        process_id = int(os.environ["EVI_PROCESS_ID"])
+    auto_detect = os.environ.get("EVI_DISTRIBUTED", "") not in ("", "0")
+    if coordinator_address is None and not auto_detect:
+        return  # single-process run: nothing to coordinate
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        **kwargs,
+    )
+    _distributed_initialized = True
 
 
 def is_main_process() -> bool:

@@ -61,6 +61,21 @@ def params_digest(params: Any) -> str:
     return h.hexdigest()
 
 
+def _save_checkpointer() -> ocp.Checkpointer:
+    """Checkpointer whose save involves only process 0 (the reference's
+    rank-0-saves semantics, ``g_agent_materializer.py:100-105``): in
+    multi-process runs orbax otherwise treats save as a collective over a
+    shared path and barriers across all hosts."""
+    if jax.process_count() > 1:
+        return ocp.Checkpointer(
+            ocp.StandardCheckpointHandler(),
+            multiprocessing_options=ocp.options.MultiprocessingOptions(
+                primary_host=0, active_processes={0}
+            ),
+        )
+    return ocp.StandardCheckpointer()
+
+
 def save_checkpoint(
     path: str | pathlib.Path,
     params: Any,
@@ -69,15 +84,26 @@ def save_checkpoint(
     opt_state: Any = None,
     step: int | None = None,
 ) -> str:
-    """Save params (+ optional opt state) and metadata; returns the digest."""
+    """Save params (+ optional opt state) and metadata; returns the digest.
+
+    Multi-process: every process may call this with the same (shared) path;
+    only process 0 writes.  Params are replicated in DP training, so the
+    digest every caller returns is identical.
+    """
     path = pathlib.Path(path).absolute()
-    path.parent.mkdir(parents=True, exist_ok=True)
     tree: dict[str, Any] = {"params": params}
     if opt_state is not None:
         tree["opt_state"] = opt_state
-    with ocp.StandardCheckpointer() as ckptr:
+    # Materialize to host numpy: orbax refuses host-local jax.Arrays in
+    # multi-process runs, and train-state params are replicated (small), so
+    # a host copy is both safe and cheap.
+    tree = jax.tree.map(lambda x: np.asarray(jax.device_get(x)), tree)
+    digest = params_digest(tree["params"])
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return digest
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with _save_checkpointer() as ckptr:
         ckptr.save(path / "state", tree, force=True)
-    digest = params_digest(params)
     payload = {
         "schema_version": SCHEMA_VERSION,
         "params_sha256": digest,

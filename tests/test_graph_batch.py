@@ -124,3 +124,43 @@ def test_iter_retriever_batches_shuffle_droplast():
     a = next(iter(iter_retriever_batches(ds.samples, batch_size=3, bucket=bucket, shuffle=True, seed=0, **kw)))
     b = next(iter(iter_retriever_batches(ds.samples, batch_size=3, bucket=bucket, shuffle=True, seed=1, **kw)))
     assert not np.allclose(np.asarray(a.question_emb), np.asarray(b.question_emb))
+
+
+def test_bucket_sizing_survives_any_shuffle():
+    """fixed_bucket_for sizes from the batch_size largest samples, so no
+    shuffle ordering can overflow the bucket mid-epoch (VERDICT weak #2)."""
+    from evi_rag_tpu.data.feeder import fixed_bucket_for, iter_retriever_batches
+    from evi_rag_tpu.data.synthetic import make_synthetic_dataset
+
+    # High graph-size variance: adversarial for contiguous-window sizing.
+    parts = [
+        make_synthetic_dataset(num_samples=8, emb_dim=8, min_nodes=3, max_nodes=5, seed=7),
+        make_synthetic_dataset(num_samples=8, emb_dim=8, max_nodes=24, seed=8),
+    ]
+    samples = parts[0].samples + parts[1].samples
+    # Reassign question ids so both halves index into one question table.
+    import dataclasses as _dc
+
+    samples = [_dc.replace(s, question_id=i, sample_id=f"s{i}") for i, s in enumerate(samples)]
+    question_emb = np.concatenate([parts[0].question_emb, parts[1].question_emb])
+    ent = np.concatenate([parts[0].entity_emb, parts[1].entity_emb])
+    # node_embedding_ids index parts' own tables; clamp into the merged one.
+    samples = [
+        _dc.replace(s, node_embedding_ids=np.clip(s.node_embedding_ids, 0, ent.shape[0] - 1))
+        for s in samples
+    ]
+    kw = dict(entity_emb=ent, relation_emb=parts[1].relation_emb, question_emb=question_emb)
+
+    bucket = fixed_bucket_for(samples, batch_size=3)
+    # Sorted-by-size order puts the largest graphs in one batch; every seed's
+    # shuffle must fit too.
+    for seed in range(20):
+        for _ in iter_retriever_batches(
+            samples, batch_size=3, bucket=bucket, shuffle=True, seed=seed, **kw
+        ):
+            pass
+    # Worst case explicitly: the batch of the 3 largest samples collates.
+    from evi_rag_tpu.data.feeder import collate_retriever
+
+    biggest = sorted(samples, key=lambda s: -s.num_nodes)[:3]
+    collate_retriever(biggest, bucket=bucket, **kw)
