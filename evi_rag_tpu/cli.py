@@ -408,14 +408,17 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         split_metrics = evaluate(params, eval_step, batches())
         all_metrics.update({f"{split}/{k}": v for k, v in split_metrics.items()})
 
-        if not bool(e.get("write_artifacts", True)):
+        write_artifacts = bool(e.get("write_artifacts", True))
+        want_ranking = bool(e.get("ranking_metrics", True))
+        if not (write_artifacts or want_ranking):
             # Metric-only mode (the reference's run.eval_mode=test without
             # materialization callbacks).
             continue
 
-        # Per-sample scores for artifact generation.
+        # Per-sample scores for artifact generation + offline ranking suite.
         agent_samples = []
         topk_records = []
+        rank_samples = []
         i = 0
         for batch in batches():
             res = eval_step(params, batch)
@@ -438,6 +441,18 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                     if s.answer_entity_ids is not None
                     else ent_ids[s.answer_locals]
                 )
+                if want_ranking:
+                    rank_samples.append(
+                        {
+                            "scores": s_scores,
+                            "labels": s.edge_labels.astype(np.float32),
+                            "answer_ids": np.asarray(ans_ids),
+                            "head_ids": ent_ids[s.edge_index[0]],
+                            "tail_ids": ent_ids[s.edge_index[1]],
+                        }
+                    )
+                if not write_artifacts:
+                    continue
                 a = build_agent_sample(
                     sample_id=s.sample_id,
                     question_id=s.question_id,
@@ -467,6 +482,25 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                     )
                 )
             i += per_batch
+        if want_ranking and rank_samples:
+            from evi_rag_tpu.eval.ranking import (
+                compute_answer_hit,
+                compute_answer_recall,
+                compute_ranking_metrics,
+            )
+
+            stats = compute_ranking_metrics(rank_samples, tcfg.k_values)
+            all_metrics.update(
+                {f"{split}/{k}": v for k, v in stats.as_flat_dict("ranking/").items()}
+            )
+            all_metrics.update(
+                {f"{split}/{k}": v for k, v in compute_answer_recall(rank_samples, tcfg.k_values).items()}
+            )
+            all_metrics.update(
+                {f"{split}/{k}": v for k, v in compute_answer_hit(rank_samples, tcfg.k_values).items()}
+            )
+        if not write_artifacts:
+            continue
         save_agent_store(
             agent_samples, artifacts_dir / "g_agent" / split, split=split,
             settings_meta={"edge_top_k": settings.edge_top_k, "max_hops": settings.max_hops},

@@ -7,10 +7,22 @@ from evi_rag_tpu.eval.metrics import (
     edge_recall_at_k,
 )
 from evi_rag_tpu.eval.oracle import oracle_metrics_for_sample
+from evi_rag_tpu.eval.ranking import (
+    FeatureMonitor,
+    RankingStats,
+    compute_answer_hit,
+    compute_answer_recall,
+    compute_ranking_metrics,
+)
 
 __all__ = [
+    "FeatureMonitor",
     "MetricAccumulator",
+    "RankingStats",
     "answer_reachability_at_k",
+    "compute_answer_hit",
+    "compute_answer_recall",
+    "compute_ranking_metrics",
     "edge_recall_at_k",
     "evaluate_predictions",
     "oracle_metrics_for_sample",

@@ -285,12 +285,12 @@ def make_gfn_eval_step(
 ) -> Callable[[dict, AgentBatch, jax.Array], dict[str, jax.Array]]:
     """Best-of-k eval: answer_hit@{k} prefixes over sampled rollouts.
 
-    Deviation from the reference: dummy agents (answer absent from the
-    subgraph) are *excluded* from the answer_hit denominators via
-    ``graph_valid``; the reference averages them in as guaranteed misses
-    (``gflownet_module.py:623-634``).  Excluding them keeps the metric a
-    property of the policy rather than of retrieval coverage -- coverage is
-    already measured by ``answer/reachability@k``.
+    Two denominators are reported. ``answer_hit@k`` *excludes* dummy agents
+    (answer absent from the subgraph) via ``graph_valid`` — a property of
+    the policy, with coverage measured separately by
+    ``answer/reachability@k``.  ``answer_hit_ref@k`` follows the reference
+    protocol exactly (``gflownet_module.py:623-634``): dummies count as
+    guaranteed misses, so numbers are directly comparable to the reference.
     """
     ks = tuple(cfg.eval_rollout_prefixes)
     r = num_rollouts if num_rollouts is not None else max(ks)
@@ -309,8 +309,12 @@ def make_gfn_eval_step(
         out["loss"] = loss
         for k in ks:
             kk = min(max(int(k), 1), r)
-            out[f"answer_hit@{k}"] = cum[kk - 1].astype(jnp.float32)
+            hit_k = cum[kk - 1]
+            out[f"answer_hit@{k}"] = hit_k.astype(jnp.float32)
+            # Reference protocol: dummy graphs are guaranteed misses.
+            out[f"answer_hit_ref@{k}"] = (hit_k & not_dummy).astype(jnp.float32)
         out["graph_valid"] = not_dummy
+        out["graph_valid_ref"] = batch.graph.graph_mask
         return out
 
     return step
@@ -330,9 +334,16 @@ def evaluate_gflownet(
     for i, batch in enumerate(batches):
         res = eval_step(params, batch, jax.random.fold_in(rng, i))
         valid = res.pop("graph_valid")
+        valid_ref = res.pop("graph_valid_ref")
         per_graph = {k: v for k, v in res.items() if k.startswith("answer_hit@")}
         acc.update(per_graph, valid)
-        scalars = {k: v for k, v in res.items() if not k.startswith("answer_hit@")}
+        per_graph_ref = {k: v for k, v in res.items() if k.startswith("answer_hit_ref@")}
+        acc.update(per_graph_ref, valid_ref)
+        scalars = {
+            k: v
+            for k, v in res.items()
+            if not (k.startswith("answer_hit@") or k.startswith("answer_hit_ref@"))
+        }
         for name, v in scalars.items():
             acc.update({name: jnp.asarray(v)}, jnp.ones((), bool))
     return acc.compute()

@@ -248,6 +248,14 @@ def test_gfn_train_steps_reduce_loss(setup):
     hit4 = np.asarray(res["answer_hit@4"])
     valid = np.asarray(res["graph_valid"])
     assert (hit4[valid] >= hit1[valid]).all()  # best-of-k monotone
+    # Reference-protocol variant: dummy graphs count as misses, so the
+    # dummy-inclusive hit vector is <= the dummy-exclusive one everywhere
+    # and exactly 0 on dummy slots.
+    ref4 = np.asarray(res["answer_hit_ref@4"])
+    valid_ref = np.asarray(res["graph_valid_ref"])
+    assert (ref4 <= hit4).all()
+    assert (ref4[~valid] == 0).all()
+    assert valid_ref.sum() >= valid.sum()
 
 
 def test_state_dde_variant(setup):
