@@ -198,7 +198,12 @@ def _enforce_sub_training_scope(cfg: dict, task: str) -> None:
 
 @task_wrapper
 def task_build(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
-    from evi_rag_tpu.data.pipeline import PipelineConfig, TextEntityPolicy, build_pipeline
+    from evi_rag_tpu.data.pipeline import (
+        PipelineConfig,
+        SplitFilter,
+        TextEntityPolicy,
+        build_pipeline,
+    )
     from evi_rag_tpu.data.text_encoder import FlaxHFTextEncoder, HashTextEncoder
 
     b = cfg["build"]
@@ -210,17 +215,34 @@ def task_build(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             enc_cfg["model_path"], max_length=int(enc_cfg.get("max_length", 64))
         )
     tp = b.get("text_policy", {})
+
+    def _filter(section: dict | None) -> SplitFilter:
+        section = section or {}
+        return SplitFilter(
+            skip_no_topic=bool(section.get("skip_no_topic", False)),
+            skip_no_ans=bool(section.get("skip_no_ans", False)),
+            skip_no_path=bool(section.get("skip_no_path", False)),
+        )
+
+    fcfg = b.get("filter", {}) or {}
     res = build_pipeline(
         PipelineConfig(
             dataset=str(b["dataset"]),
             raw_root=str(b["raw_root"]),
             out_dir=str(b["out_dir"]),
             text_policy=TextEntityPolicy(
-                mode=str(tp.get("mode", "all")), exclude_regex=tp.get("exclude_regex")
+                mode=str(tp.get("mode", "all")),
+                exclude_regex=tp.get("exclude_regex"),
+                match_regex=tp.get("match_regex"),
             ),
             path_mode=str(b.get("path_mode", "undirected")),
+            entity_normalization=str(b.get("entity_normalization", "none")),
+            train_filter=_filter(fcfg.get("train")),
+            eval_filter=_filter(fcfg.get("eval")),
+            num_workers=int(b.get("num_workers", 0)),
         ),
         encoder,
+        column_map=b.get("column_map"),
     )
     metrics = {
         "num_entities": res.num_entities,

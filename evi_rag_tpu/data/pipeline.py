@@ -47,10 +47,17 @@ VALID_SPLITS = ("train", "validation", "test")
 
 @dataclasses.dataclass(frozen=True)
 class TextEntityPolicy:
-    """Which entities have usable text (mode: all | exclude_regex)."""
+    """Which entities have usable text (mode: all | exclude_regex | regex).
+
+    ``regex`` mode matches the reference verbatim: an entity is text iff the
+    pattern matches (reference ``TextEntityConfig.is_text``,
+    ``build_retrieval_pipeline.py:95-101``; dataset configs carry patterns
+    like ``^(?!m\\.|g\\.).*`` for Freebase / ``^(?!Q\\d+|P\\d+).+`` for
+    Wikidata)."""
 
     mode: str = "all"
     exclude_regex: str | None = None  # e.g. r"^(m|g)\." for Freebase CVTs
+    match_regex: str | None = None  # reference-style keep-if-match pattern
 
     def is_text(self, entity: str) -> bool:
         if self.mode == "all":
@@ -59,6 +66,10 @@ class TextEntityPolicy:
             if not self.exclude_regex:
                 raise ValueError("exclude_regex mode requires a pattern")
             return re.match(self.exclude_regex, entity) is None
+        if self.mode == "regex":
+            if not self.match_regex:
+                raise ValueError("regex mode requires match_regex")
+            return re.match(self.match_regex, entity) is not None
         raise ValueError(f"unknown text-entity mode {self.mode!r}")
 
 
@@ -71,11 +82,82 @@ class RawSample:
     q_entity: list[str]
     a_entity: list[str]
     graph: list[tuple[str, str, str]]
+    answer_texts: list[str] = dataclasses.field(default_factory=list)
     answer_subgraph: list[tuple[str, str, str]] | None = None
+    graph_iso_type: str | None = None  # GTSQA graph_isomorphism
+    redundant: bool | None = None  # GTSQA redundant flag
+    test_type: list[str] = dataclasses.field(default_factory=list)  # GTSQA
 
     @property
     def graph_id(self) -> str:
         return f"{self.dataset}/{self.split}/{self.question_id}"
+
+
+@dataclasses.dataclass(frozen=True)
+class SplitFilter:
+    """Ingestion-time sample filters (reference ``SplitFilter``,
+    ``build_retrieval_pipeline.py:52-56``; defaults all-off, ``:2300-2303``)."""
+
+    skip_no_topic: bool = False
+    skip_no_ans: bool = False
+    skip_no_path: bool = False
+
+
+def has_connectivity(
+    graph: list[tuple[str, str, str]],
+    q_entity: list[str],
+    a_entity: list[str],
+    *,
+    path_mode: str = "undirected",
+) -> bool:
+    """BFS reachability seed->answer over the raw string graph
+    (reference ``has_connectivity``, ``build_retrieval_pipeline.py:955-980``)."""
+    node_ids: dict[str, int] = {}
+    for h, _, t in graph:
+        node_ids.setdefault(h, len(node_ids))
+        node_ids.setdefault(t, len(node_ids))
+    seeds = [node_ids[e] for e in q_entity if e in node_ids]
+    answers = {node_ids[e] for e in a_entity if e in node_ids}
+    if not seeds or not answers:
+        return False
+    adj: list[list[int]] = [[] for _ in range(len(node_ids))]
+    for h, _, t in graph:
+        u, v = node_ids[h], node_ids[t]
+        adj[u].append(v)
+        if path_mode != "directed":
+            adj[v].append(u)
+    from collections import deque
+
+    seen = set(seeds)
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if u in answers:
+            return True
+        for v in adj[u]:
+            if v not in seen:
+                seen.add(v)
+                dq.append(v)
+    return bool(seen & answers)
+
+
+def should_keep_sample(
+    sample: RawSample, split_filter: SplitFilter, *, path_mode: str = "undirected"
+) -> bool:
+    """Reference keep-predicate (``_should_keep_sample``, ``:1028-1055``):
+    an answer_subgraph implies connectivity."""
+    node_strings = {h for h, _, t in sample.graph} | {t for _, _, t in sample.graph}
+    if split_filter.skip_no_topic and not any(e in node_strings for e in sample.q_entity):
+        return False
+    if split_filter.skip_no_ans and not any(e in node_strings for e in sample.a_entity):
+        return False
+    if split_filter.skip_no_path:
+        if sample.answer_subgraph:
+            return True
+        return has_connectivity(
+            sample.graph, sample.q_entity, sample.a_entity, path_mode=path_mode
+        )
+    return True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -92,6 +174,12 @@ class PipelineConfig:
     nonzero_positive_filter_splits: tuple[str, ...] | None = ("train",)
     num_workers: int = 0
     encode_batch_size: int = 256
+    entity_normalization: str = "none"  # none | qid_in_parentheses
+    train_filter: SplitFilter = SplitFilter()
+    eval_filter: SplitFilter = SplitFilter()
+
+    def split_filter(self, split: str) -> SplitFilter:
+        return self.train_filter if split == "train" else self.eval_filter
 
 
 class Vocab:
@@ -151,49 +239,175 @@ class Vocab:
         ]
 
 
+# Default column map: reference HF RoG schema keys
+# (reference ``configs/dataset/webqsp.yaml`` column_map).
+DEFAULT_COLUMN_MAP: dict[str, str] = {
+    "question_id_field": "id",
+    "question_field": "question",
+    "answer_text_field": "answer",
+    "q_entity_field": "q_entity",
+    "a_entity_field": "a_entity",
+    "graph_field": "graph",
+    # Read when the column exists (GTSQA names it explicitly; auto-detected
+    # otherwise for backward compatibility with pre-column-map callers).
+    "answer_subgraph_field": "answer_subgraph",
+}
+
+# Reference normalization regexes (``build_retrieval_pipeline.py:352-353``):
+# KGQAGen mixes "Label (Q123)" strings with bare QIDs; both entity mentions
+# and seed/answer fields must normalize to the QID.
+_QID_IN_PARENS_RE = re.compile(r"(Q\d+)")
+_LABEL_QID_RE = re.compile(r"(.+)\s+\((Q\d+)\)$")
+
+
+def normalize_entity(entity: str, mode: str) -> str:
+    """``qid_in_parentheses``: extract the QID if present
+    (reference ``build_retrieval_pipeline.py:982-987``)."""
+    if mode == "qid_in_parentheses":
+        m = _QID_IN_PARENS_RE.search(entity)
+        if m:
+            return m.group(1)
+    return entity
+
+
+def normalize_entity_with_lookup(
+    entity: str, mode: str, label_to_qid: dict[str, str]
+) -> str:
+    """Fall back to the per-row label->QID map built from graph mentions
+    (reference ``:990-996``: seeds/answers may carry only the label)."""
+    normalized = normalize_entity(entity, mode)
+    if mode == "qid_in_parentheses" and normalized == entity:
+        qid = label_to_qid.get(entity)
+        if qid:
+            return qid
+    return normalized
+
+
+def to_list(field: Any) -> list[str]:
+    """Coerce scalar / list / numpy fields to list[str]
+    (reference ``:998-1007``; e.g. WebQSP ``answer`` can be a scalar)."""
+    if field is None:
+        return []
+    if isinstance(field, (list, tuple)):
+        return [str(x) for x in field]
+    if isinstance(field, np.ndarray):
+        return [str(x) for x in field.tolist()]
+    return [str(field)]
+
+
+def _split_files(raw_root: pathlib.Path) -> dict[str, list[pathlib.Path]]:
+    """Group ``<split>-*.parquet`` / ``<split>.parquet`` shards by split
+    (reference ``load_split`` globs ``{split}-*.parquet``, ``:1011-1015``)."""
+    out: dict[str, list[pathlib.Path]] = {}
+    for f in sorted(raw_root.glob("*.parquet")):
+        split = f.name.split("-")[0].removesuffix(".parquet")
+        if split not in VALID_SPLITS:
+            raise ValueError(f"unknown split prefix {split!r} in {f.name}")
+        out.setdefault(split, []).append(f)
+    if not out:
+        raise FileNotFoundError(f"no parquet shards under {raw_root}")
+    return out
+
+
 def read_raw_parquet(
     raw_root: str | pathlib.Path,
     dataset: str,
     *,
     column_map: dict[str, str] | None = None,
+    entity_normalization: str = "none",
 ) -> Iterator[RawSample]:
-    """Iterate ``<split>-*.parquet`` shards under raw_root.
+    """Iterate raw HF-RoG-style parquet shards under raw_root.
 
-    Expected columns (reference/HF RoG-style): id, question, q_entity,
-    a_entity, graph (list of [h, r, t]); remappable via column_map.
+    Reference-parity ingestion (``build_retrieval_pipeline.py:1058-1137``):
+    nested ``graph`` list<list<string>> triples, scalar-or-list answer/seed
+    fields, KGQAGen ``qid_in_parentheses`` normalization with a per-row
+    label->QID lookup harvested from graph mentions, and GTSQA's optional
+    answer_subgraph / graph_isomorphism / redundant / test_type columns.
+    Column names remap via ``column_map`` using the reference's
+    ``*_field`` keys (``configs/dataset/*.yaml``); plain names are also
+    accepted for backward compatibility (``{"graph": "proof"}``).
     """
     import pyarrow.parquet as pq
 
-    cmap = {"id": "id", "question": "question", "q_entity": "q_entity",
-            "a_entity": "a_entity", "graph": "graph", **(column_map or {})}
-    raw_root = pathlib.Path(raw_root)
-    files = sorted(raw_root.glob("*.parquet"))
-    if not files:
-        raise FileNotFoundError(f"no parquet shards under {raw_root}")
-    for f in files:
-        split = f.name.split("-")[0]
-        if split not in VALID_SPLITS:
-            raise ValueError(f"unknown split prefix {split!r} in {f.name}")
-        table = pq.read_table(f)
-        cols = {c: table.column(cmap[c]).to_pylist() for c in cmap if cmap[c] in table.column_names}
-        n = table.num_rows
-        for i in range(n):
-            graph = [tuple(map(str, tr)) for tr in cols["graph"][i] or []]
-            answer_sub = None
-            if "answer_subgraph" in table.column_names:
-                raw_as = table.column("answer_subgraph").to_pylist()[i]
-                if raw_as:
-                    answer_sub = [tuple(map(str, tr)) for tr in raw_as]
-            yield RawSample(
-                dataset=dataset,
-                split=split,
-                question_id=str(cols["id"][i]),
-                question=str(cols["question"][i]),
-                q_entity=[str(x) for x in (cols["q_entity"][i] or [])],
-                a_entity=[str(x) for x in (cols["a_entity"][i] or [])],
-                graph=[t for t in graph if len(t) == 3],
-                answer_subgraph=answer_sub,
-            )
+    cmap = dict(DEFAULT_COLUMN_MAP)
+    legacy = {
+        "id": "question_id_field",
+        "question": "question_field",
+        "answer": "answer_text_field",
+        "q_entity": "q_entity_field",
+        "a_entity": "a_entity_field",
+        "graph": "graph_field",
+        "answer_subgraph": "answer_subgraph_field",
+    }
+    for k, v in (column_map or {}).items():
+        cmap[legacy.get(k, k)] = v
+
+    def _triples(rows: Any, label_to_qid: dict[str, str]) -> list[tuple[str, str, str]]:
+        out = []
+        for tr in rows or []:
+            if not isinstance(tr, (list, tuple)) or len(tr) < 3:
+                continue
+            h_raw, r, t_raw = str(tr[0]), str(tr[1]), str(tr[2])
+            if entity_normalization == "qid_in_parentheses":
+                for node_raw in (h_raw, t_raw):
+                    m = _LABEL_QID_RE.match(node_raw)
+                    if m:
+                        label_to_qid[m.group(1).strip()] = m.group(2)
+            h = normalize_entity_with_lookup(h_raw, entity_normalization, label_to_qid)
+            t = normalize_entity_with_lookup(t_raw, entity_normalization, label_to_qid)
+            out.append((h, r, t))
+        return out
+
+    for split, files in _split_files(pathlib.Path(raw_root)).items():
+        for f in files:
+            table = pq.read_table(f)
+            names = set(table.column_names)
+            rows = table.to_pylist()
+            for row in rows:
+                label_to_qid: dict[str, str] = {}
+                graph = _triples(row.get(cmap["graph_field"]), label_to_qid)
+                q_entities = [
+                    normalize_entity_with_lookup(e, entity_normalization, label_to_qid)
+                    for e in to_list(row.get(cmap["q_entity_field"]))
+                ]
+                a_entities = [
+                    normalize_entity_with_lookup(e, entity_normalization, label_to_qid)
+                    for e in to_list(row.get(cmap["a_entity_field"]))
+                ]
+                answer_texts = to_list(row.get(cmap["answer_text_field"]))
+                answer_sub = None
+                as_field = cmap.get("answer_subgraph_field")
+                if as_field and as_field in names:
+                    sub = _triples(row.get(as_field), label_to_qid)
+                    answer_sub = sub or None
+                iso = None
+                if cmap.get("graph_iso_field") in names:
+                    val = row.get(cmap["graph_iso_field"])
+                    iso = str(val) if val is not None else None
+                redundant = None
+                if cmap.get("redundant_field") in names:
+                    rv = row.get(cmap["redundant_field"])
+                    if isinstance(rv, bool):
+                        redundant = rv
+                    elif rv is not None:
+                        redundant = str(rv).lower() == "true"
+                test_type: list[str] = []
+                if cmap.get("test_type_field") in names:
+                    test_type = to_list(row.get(cmap["test_type_field"]))
+                yield RawSample(
+                    dataset=dataset,
+                    split=split,
+                    question_id=str(row[cmap["question_id_field"]]),
+                    question=str(row.get(cmap["question_field"]) or ""),
+                    q_entity=q_entities,
+                    a_entity=a_entities,
+                    graph=graph,
+                    answer_texts=answer_texts,
+                    answer_subgraph=answer_sub,
+                    graph_iso_type=iso,
+                    redundant=redundant,
+                    test_type=test_type,
+                )
 
 
 @dataclasses.dataclass
@@ -386,13 +600,23 @@ def build_pipeline(
     vocab = Vocab(cfg.text_policy)
 
     # Pass 1: vocab.
-    counts: dict[str, dict[str, int]] = {"total": {}, "kept": {}, "sub": {}, "nonzero": {}}
+    counts: dict[str, dict[str, int]] = {
+        "total": {}, "kept": {}, "sub": {}, "nonzero": {}, "filtered": {},
+    }
     empty_ids: set[str] = set()
     questions: dict[str, list[RawSample]] = {}
-    for s in read_raw_parquet(cfg.raw_root, cfg.dataset, column_map=column_map):
+    for s in read_raw_parquet(
+        cfg.raw_root,
+        cfg.dataset,
+        column_map=column_map,
+        entity_normalization=cfg.entity_normalization,
+    ):
         counts["total"][s.split] = counts["total"].get(s.split, 0) + 1
         if not s.graph:
             empty_ids.add(s.graph_id)
+            continue
+        if not should_keep_sample(s, cfg.split_filter(s.split), path_mode=cfg.path_mode):
+            counts["filtered"][s.split] = counts["filtered"].get(s.split, 0) + 1
             continue
         for h, r, t in s.graph:
             vocab.add_entity(h)
@@ -452,6 +676,10 @@ def build_pipeline(
                     "question": s.question,
                     "q_entity": s.q_entity,
                     "a_entity": s.a_entity,
+                    "answer_texts": s.answer_texts,
+                    "graph_iso_type": s.graph_iso_type,
+                    "redundant": s.redundant,
+                    "test_type": s.test_type,
                 }
             )
             writer.add(
@@ -473,6 +701,7 @@ def build_pipeline(
                     "pair_shortest": g.pair_shortest.astype(np.int32),
                     "question_emb": q_emb[qi].astype(np.float32),
                     "question": s.question,
+                    "answer_texts": json.dumps(s.answer_texts),
                     "seed_entity_ids": np.asarray(
                         [vocab.entity_to_id[e] for e in s.q_entity if e in vocab.entity_to_id],
                         np.int64,
