@@ -208,12 +208,33 @@ def task_build(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
 
     b = cfg["build"]
     enc_cfg = b.get("encoder", {})
-    if enc_cfg.get("kind", "hash") == "hash":
+    kind = enc_cfg.get("kind", "hash")
+    if kind == "hash":
         encoder = HashTextEncoder(dim=int(enc_cfg.get("dim", 256)))
-    else:
+    elif kind == "flax_hf":
         encoder = FlaxHFTextEncoder(
+            enc_cfg["model_path"],
+            max_length=int(enc_cfg.get("max_length", 64)),
+            from_pt=bool(enc_cfg.get("from_pt", False)),
+        )
+    elif kind == "torch_hf":
+        # Reference-verbatim path; loads trust_remote_code archs (gte-large).
+        from evi_rag_tpu.data.text_encoder import TorchHFTextEncoder
+
+        encoder = TorchHFTextEncoder(
+            enc_cfg["model_path"],
+            max_length=int(enc_cfg.get("max_length", 64)),
+            trust_remote_code=bool(enc_cfg.get("trust_remote_code", True)),
+        )
+    elif kind == "gte_jax":
+        # TPU-native JAX port of the gte "NewModel" architecture.
+        from evi_rag_tpu.data.gte_jax import GTEJaxTextEncoder
+
+        encoder = GTEJaxTextEncoder(
             enc_cfg["model_path"], max_length=int(enc_cfg.get("max_length", 64))
         )
+    else:
+        raise ConfigError(f"unknown build.encoder.kind {kind!r}")
     tp = b.get("text_policy", {})
 
     def _filter(section: dict | None) -> SplitFilter:

@@ -60,8 +60,62 @@ class HashTextEncoder:
         return np.stack([self._features(t) for t in texts]) if texts else np.zeros((0, self.dim), np.float32)
 
 
+class TorchHFTextEncoder:
+    """The reference encoder verbatim: torch AutoModel + attention-mask mean
+    pooling (``scripts/text_encode_utils.py:13-67``).  This is the
+    guaranteed-correct path for ``trust_remote_code`` architectures like
+    ``Alibaba-NLP/gte-large-en-v1.5`` that have no Flax port — the offline
+    build stage is host-side, so a CPU torch forward is acceptable there;
+    the TPU-native alternative is ``data/gte_jax.py``."""
+
+    def __init__(
+        self,
+        model_path: str,
+        *,
+        max_length: int = 64,
+        trust_remote_code: bool = True,
+        device: str = "cpu",
+    ) -> None:
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            model_path, trust_remote_code=trust_remote_code
+        )
+        self.model = AutoModel.from_pretrained(
+            model_path, trust_remote_code=trust_remote_code
+        ).to(device)
+        self.model.eval()
+        self.device = device
+        self.max_length = int(max_length)
+        self.dim = int(self.model.config.hidden_size)
+        self._torch = torch
+
+    def encode(self, texts: Sequence[str], *, batch_size: int = 256) -> np.ndarray:
+        torch = self._torch
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        with torch.no_grad():
+            for i in range(0, len(texts), batch_size):
+                chunk = list(texts[i : i + batch_size])
+                toks = self.tokenizer(
+                    chunk,
+                    padding=True,
+                    truncation=True,
+                    max_length=self.max_length,
+                    return_tensors="pt",
+                ).to(self.device)
+                hidden = self.model(**toks).last_hidden_state
+                mask = toks["attention_mask"].unsqueeze(-1).to(hidden.dtype)
+                emb = (hidden * mask).sum(1) / mask.sum(1).clamp(min=1.0)
+                out[i : i + len(chunk)] = emb.float().cpu().numpy()
+        return out
+
+
 class FlaxHFTextEncoder:
-    """Mean-pooled frozen HF encoder on TPU via Flax (jit + length buckets)."""
+    """Mean-pooled frozen HF encoder on TPU via Flax (jit + length buckets).
+
+    ``from_pt=True`` converts a torch-only checkpoint's weights on load
+    (works for any architecture with a Flax port, e.g. the BERT family)."""
 
     def __init__(
         self,
@@ -69,12 +123,15 @@ class FlaxHFTextEncoder:
         *,
         max_length: int = 64,
         dtype: str = "float32",
+        from_pt: bool = False,
     ) -> None:
         import jax
         from transformers import AutoTokenizer, FlaxAutoModel
 
         self.tokenizer = AutoTokenizer.from_pretrained(model_path)
-        self.model = FlaxAutoModel.from_pretrained(model_path, trust_remote_code=False)
+        self.model = FlaxAutoModel.from_pretrained(
+            model_path, trust_remote_code=False, from_pt=from_pt
+        )
         self.max_length = int(max_length)
         self.dim = int(self.model.config.hidden_size)
 
