@@ -1,4 +1,4 @@
-.PHONY: test test-full test-native lint bench entry clean
+.PHONY: test test-full test-native test-tpu lint bench entry clean
 
 test:            ## fast tests (skip slow pipeline tests)
 	python -m pytest tests/ -q -m "not slow"
@@ -8,6 +8,10 @@ test-full:       ## everything incl. the full CLI pipeline
 
 test-native:     ## native graphcore parity
 	python -m pytest tests/test_native_graphcore.py -q
+
+test-tpu:        ## hardware lane: kernels + bf16 numerics on the real chip
+	EVI_TESTS_ON_TPU=1 python -m pytest tests/test_pallas_score.py \
+	  tests/test_knn.py tests/test_serving_parity.py tests/test_hw_numerics.py -q
 
 bench:           ## headline throughput benchmark (real TPU)
 	python bench.py

@@ -96,16 +96,12 @@ def _adapter_features(
     return _dense(adapter["dense_1"], z)
 
 
-def embed_agent_batch(
-    bundle: dict[str, Any],
-    batch: AgentBatch,
-    *,
-    edge_score_proj: dict[str, jax.Array],
-) -> EmbedOutputs:
-    """Produce (edge, node, question) tokens from the frozen retriever bundle.
-
-    ``edge_score_proj`` is the GFlowNet's own zero-init trainable Linear(1,H)
-    injecting the retriever score into the edge token.
+def embed_agent_batch_frozen(bundle: dict[str, Any], batch: AgentBatch) -> EmbedOutputs:
+    """The parameter-free part of the embedding: (edge, node, question)
+    tokens from the frozen retriever bundle, WITHOUT the trainable
+    edge-score bonus.  Depends only on (bundle, batch), so callers may
+    compute it once per batch and reuse it across train steps/epochs
+    (the reference recomputes this every step, ``gflownet_module.py:393``).
     """
     feats = bundle["features"]
     parity = bundle["parity_meta"]
@@ -160,12 +156,37 @@ def embed_agent_batch(
     else:
         raise ValueError(f"unknown edge_mode {edge_mode!r}")
     edge_tokens = 0.5 * (fwd + bwd)
-    score_in = batch.edge_scores.astype(edge_tokens.dtype)[:, None]
-    edge_tokens = edge_tokens + _dense(edge_score_proj, score_in)
     return EmbedOutputs(
         edge_tokens=edge_tokens,
         node_tokens=node_tokens,
         question_tokens=question_tokens,
+    )
+
+
+def apply_score_bonus(
+    embed: EmbedOutputs,
+    batch: AgentBatch,
+    edge_score_proj: dict[str, jax.Array],
+) -> EmbedOutputs:
+    """Add the trainable zero-init Linear(1,H) retriever-score bonus to the
+    edge tokens (reference ``gflownet_embedder.py:248-256``)."""
+    score_in = batch.edge_scores.astype(embed.edge_tokens.dtype)[:, None]
+    return EmbedOutputs(
+        edge_tokens=embed.edge_tokens + _dense(edge_score_proj, score_in),
+        node_tokens=embed.node_tokens,
+        question_tokens=embed.question_tokens,
+    )
+
+
+def embed_agent_batch(
+    bundle: dict[str, Any],
+    batch: AgentBatch,
+    *,
+    edge_score_proj: dict[str, jax.Array],
+) -> EmbedOutputs:
+    """Frozen embedding + trainable edge-score bonus in one call."""
+    return apply_score_bonus(
+        embed_agent_batch_frozen(bundle, batch), batch, edge_score_proj
     )
 
 

@@ -14,6 +14,7 @@ Eval: best-of-k rollouts -> ``answer_hit@{k}`` prefix metrics (``:623-634``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import time
 from typing import Any, Callable, Iterable
@@ -64,6 +65,10 @@ class GFlowNetConfig:
     monitor: str = "answer_hit"
     patience: int = 5
     dropout: float = 0.1
+    # Cache the frozen retriever embeddings per train batch across epochs
+    # (the heavy parameter-free part of every step; VERDICT round-1 weak #8).
+    # Costs device memory proportional to the epoch's batch count.
+    cache_frozen_embed: bool = False
 
     @property
     def actor(self) -> ActorConfig:
@@ -160,10 +165,17 @@ def _rollout_losses(
     temperature: float,
     greedy: bool = False,
     train: bool = False,
+    frozen_embed=None,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
     """Mean SubTB (+BC) loss over R rollouts; per-rollout metrics stacked."""
+    from evi_rag_tpu.models.gflownet.embedder import (
+        apply_score_bonus,
+        embed_agent_batch_frozen,
+    )
+
     gb = batch.graph
-    embed = embed_agent_batch(bundle, batch, edge_score_proj=params["edge_score_proj"])
+    base = frozen_embed if frozen_embed is not None else embed_agent_batch_frozen(bundle, batch)
+    embed = apply_score_bonus(base, batch, params["edge_score_proj"])
     need_bc = train and cfg.bc_weight > 0.0
     dag_mask = (batch.edge_labels > POS_LABEL_THRESHOLD) & gb.edge_mask if need_bc else None
     actor_cfg = dataclasses.replace(cfg.actor, policy_temperature=temperature)
@@ -234,8 +246,8 @@ def make_gfn_train_step(
     batch for data-parallel training over a mesh (same vmap-over-shards
     pattern as the retriever step)."""
 
-    @jax.jit
-    def step(state: TrainState, batch: AgentBatch):
+    @functools.partial(jax.jit, static_argnames=())
+    def step(state: TrainState, batch: AgentBatch, frozen_embed=None):
         rng, sub = jax.random.split(state.rng)
         stacked = batch.question_emb.ndim == 3
         bc_w = bc_weight_schedule(
@@ -246,24 +258,30 @@ def make_gfn_train_step(
             decay_steps=int(round(cfg.total_steps * cfg.bc_decay_ratio)),
         )
 
-        def shard_loss(params, shard_batch, shard_rng):
+        def shard_loss(params, shard_batch, shard_rng, shard_frozen=None):
             rngs = jax.random.split(shard_rng, cfg.num_train_rollouts)
             return _rollout_losses(
                 params, modules, bundle, shard_batch, rngs, cfg,
                 bc_weight=bc_w, temperature=cfg.policy_temperature, train=True,
+                frozen_embed=shard_frozen,
             )
 
         if stacked:
             def loss_fn(params):
                 d = batch.question_emb.shape[0]
                 keys = jax.random.split(sub, d)
-                losses, metrics = jax.vmap(shard_loss, in_axes=(None, 0, 0))(
-                    params, batch, keys
-                )
+                if frozen_embed is not None:
+                    losses, metrics = jax.vmap(shard_loss, in_axes=(None, 0, 0, 0))(
+                        params, batch, keys, frozen_embed
+                    )
+                else:
+                    losses, metrics = jax.vmap(shard_loss, in_axes=(None, 0, 0))(
+                        params, batch, keys
+                    )
                 return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
         else:
             def loss_fn(params):
-                return shard_loss(params, batch, sub)
+                return shard_loss(params, batch, sub, frozen_embed)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
@@ -373,14 +391,38 @@ def fit_gflownet(
     best_score = -float("inf")
     best_params = state.params
     bad = 0
+    cached_batches = None
     history: list[dict] = []
     for epoch in range(cfg.max_epochs):
         t0 = time.time()
         last = {}
         from evi_rag_tpu.data.feeder import prefetch
 
-        for batch in prefetch(iter(train_batches(epoch))):
-            state, last = train_step(state, batch)
+        if cfg.cache_frozen_embed:
+            # Fixed batch membership, shuffled order: the frozen retriever
+            # embedding of each batch is computed once and reused every
+            # epoch (it has no trainable inputs).
+            if cached_batches is None:
+                from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch_frozen
+
+                embed_fn = jax.jit(functools.partial(embed_agent_batch_frozen, bundle))
+                cached_batches = []
+                for b in train_batches(0):
+                    fe = (
+                        jax.vmap(lambda bb: embed_fn(bb))(b)
+                        if b.question_emb.ndim == 3
+                        else embed_fn(b)
+                    )
+                    cached_batches.append((b, fe))
+            import numpy as _np
+
+            order = _np.random.default_rng(epoch).permutation(len(cached_batches))
+            for j in order:
+                b, fe = cached_batches[j]
+                state, last = train_step(state, b, fe)
+        else:
+            for batch in prefetch(iter(train_batches(epoch))):
+                state, last = train_step(state, batch)
         val = evaluate_gflownet(
             state.params, eval_step, val_batches(), rng=jax.random.key(1000 + epoch),
             ks=cfg.eval_rollout_prefixes,

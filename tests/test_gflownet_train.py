@@ -345,3 +345,48 @@ def test_training_with_dummy_agents_is_finite(setup):
     assert np.isfinite(float(m["loss"]))
     for leaf in jax.tree.leaves(state2.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_cached_frozen_embed_matches_uncached(setup):
+    """Passing the precomputed frozen embedding to the train step yields the
+    exact same update as computing it inline (the cache is a pure hoist)."""
+    from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch_frozen
+
+    _, batch, bundle = setup
+    cfg = _cfg()
+    modules = build_modules(cfg)
+    params = init_gflownet_params(cfg, modules, bundle, batch, seed=0)
+    tx = setup_optimizer(cfg.optimizer, params)
+
+    def fresh_state():
+        return TrainState(
+            params=jax.tree.map(lambda x: x, params),
+            opt_state=jax.jit(tx.init)(params),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.key(7),
+        )
+
+    step = make_gfn_train_step(modules, tx, cfg, bundle)
+    s1, m1 = step(fresh_state(), batch)
+    frozen = jax.jit(lambda b: embed_agent_batch_frozen(bundle, b))(batch)
+    s2, m2 = step(fresh_state(), batch, frozen)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_fit_gflownet_with_embed_cache(setup):
+    """fit_gflownet(cache_frozen_embed=True) trains to a finite monitor."""
+    from evi_rag_tpu.train.gflownet_trainer import fit_gflownet
+
+    _, batch, bundle = setup
+    cfg = dataclasses.replace(_cfg(), max_epochs=2, cache_frozen_embed=True)
+
+    def train_batches(epoch):
+        return [batch]
+
+    def val_batches():
+        return [batch]
+
+    best, info = fit_gflownet(cfg, bundle, train_batches, val_batches, seed=0, eval_rollouts=2)
+    assert np.isfinite(info["best_score"])
+    assert len(info["history"]) == 2
