@@ -71,8 +71,12 @@ def _load_split(cfg: dict, split: str):
             root, split, filter_ids=filter_ids,
             sample_limit=ds.get("sample_limit"), seed=int(ds.get("seed", 0)),
         )
-        entity_emb = np.load(root / "embeddings" / "entity_embeddings.npy")
-        relation_emb = np.load(root / "embeddings" / "relation_embeddings.npy")
+        # Memory-map the embedding tables: per-batch gathers touch only the
+        # rows they need, so Freebase-scale vocabularies never fully load
+        # into host RAM (dataset.mmap=false opts out).
+        mode = "r" if ds.get("mmap", True) else None
+        entity_emb = np.load(root / "embeddings" / "entity_embeddings.npy", mmap_mode=mode)
+        relation_emb = np.load(root / "embeddings" / "relation_embeddings.npy", mmap_mode=mode)
         return samples, entity_emb, relation_emb, q_emb
     raise ConfigError(f"unknown dataset.source {source!r}")
 

@@ -77,6 +77,73 @@ def build_triple_index(
     )
 
 
+def build_triple_index_sharded(
+    bundle: dict[str, Any],
+    *,
+    mesh,
+    entity_emb: jax.Array,      # [V, D] sharded NamedSharding(mesh, P('data'))
+    relation_emb: jax.Array,    # [R, D] replicated (relation vocab is small)
+    nontext_mask: jax.Array,    # [V] sharded like entity_emb
+    heads: jax.Array,           # [M] global entity ids (replicated)
+    rels: jax.Array,
+    tails: jax.Array,
+    struct_raw: jax.Array,      # [M, S]
+) -> TripleIndex:
+    """Index build with the entity table sharded over the mesh.
+
+    Freebase-scale vocabularies (tens of millions x 1024) do not fit one
+    device, so the table stays row-sharded: each device projects its local
+    rows (pure local matmul), then candidate rows are fetched with a
+    local-gather + masked ``psum`` -- the full projected table is never
+    materialized on any device (VERDICT round-1 next-step #7).
+    """
+    from functools import partial as _partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    feats = bundle["features"]
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    v = entity_emb.shape[0]
+    if v % n_dev != 0:
+        raise ValueError(f"vocab rows {v} must divide evenly over {n_dev} devices")
+    local_v = v // n_dev
+    non_text_row = _projector(feats["entity_proj"], feats["non_text_entity_emb"][None, :])[0]
+
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def gather_rows(table_local, nontext_local, h_ids, t_ids):
+        proj_local = _projector(feats["entity_proj"], table_local)
+        proj_local = jnp.where(
+            nontext_local[:, None], non_text_row[None, :], proj_local
+        )
+        off = jax.lax.axis_index(axis).astype(jnp.int32) * local_v
+
+        def fetch(ids):
+            loc = ids.astype(jnp.int32) - off
+            ok = (loc >= 0) & (loc < local_v)
+            rows = proj_local[jnp.clip(loc, 0, local_v - 1)]
+            rows = jnp.where(ok[:, None], rows, 0.0)
+            return jax.lax.psum(rows, axis)
+
+        return fetch(h_ids), fetch(t_ids)
+
+    head_repr, tail_repr = gather_rows(entity_emb, nontext_mask, heads, tails)
+    rel = _projector(feats["relation_proj"], relation_emb)
+    return TripleIndex(
+        head_repr=head_repr,
+        rel_repr=rel[rels],
+        tail_repr=tail_repr,
+        struct_raw=struct_raw,
+    )
+
+
 def _query_context(feats: dict[str, Any], q_emb: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Per-query tensors: (projected query, gate, bias) -- computed once."""
     q = _projector(feats["query_proj"], q_emb)

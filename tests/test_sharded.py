@@ -169,3 +169,78 @@ def test_gflownet_stacked_dp_step():
     new_state, m = step(state_sh, stacked_sh)
     assert np.isfinite(float(m["loss"]))
     assert np.isfinite(float(m["answer_hit"]))
+
+
+def test_sharded_index_build_matches_single_device():
+    """build_triple_index_sharded (row-sharded entity table, local-gather +
+    psum fetch) reproduces the single-device index exactly."""
+    from evi_rag_tpu.ops.query import build_triple_index, build_triple_index_sharded
+
+    D, V, R, M = 32, 64, 8, 128
+    rng = np.random.default_rng(3)
+    bundle = jax.tree.map(jnp.asarray, make_bundle(D, D, 20, seed=3))
+    ent = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    rel = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    nontext = jnp.asarray(rng.random(V) < 0.2)
+    heads = jnp.asarray(rng.integers(0, V, M))
+    rels = jnp.asarray(rng.integers(0, R, M))
+    tails = jnp.asarray(rng.integers(0, V, M))
+    struct = jnp.asarray(rng.normal(size=(M, 20)).astype(np.float32))
+
+    ref = build_triple_index(
+        bundle, entity_emb=ent, relation_emb=rel, nontext_mask=nontext,
+        heads=heads, rels=rels, tails=tails, struct_raw=struct,
+    )
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+    got = build_triple_index_sharded(
+        bundle, mesh=mesh,
+        entity_emb=jax.device_put(ent, sh), relation_emb=rel,
+        nontext_mask=jax.device_put(nontext, sh),
+        heads=heads, rels=rels, tails=tails, struct_raw=struct,
+    )
+    np.testing.assert_allclose(np.asarray(got.head_repr), np.asarray(ref.head_repr), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.tail_repr), np.asarray(ref.tail_repr), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.rel_repr), np.asarray(ref.rel_repr), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_million_entity_sharded_build_and_query():
+    """Freebase-scale smoke: a 1M-row entity table sharded over the 8-device
+    mesh feeds a sharded index build + sharded top-k query (VERDICT #7)."""
+    from evi_rag_tpu.ops.query import build_triple_index_sharded, query_topk_sharded
+
+    D, V, R, M, B, K = 32, 1_048_576, 64, 4096, 2, 10
+    rng = np.random.default_rng(4)
+    bundle = jax.tree.map(jnp.asarray, make_bundle(D, D, 20, seed=4))
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+    # Build the sharded table without a host-resident full copy.
+    ent = jax.device_put(
+        jnp.asarray(rng.normal(size=(V, D)).astype(np.float32) * 0.1), sh
+    )
+    nontext = jax.device_put(jnp.zeros(V, bool), sh)
+    rel = jnp.asarray(rng.normal(size=(R, D)).astype(np.float32))
+    heads = jnp.asarray(rng.integers(0, V, M))
+    rels = jnp.asarray(rng.integers(0, R, M))
+    tails = jnp.asarray(rng.integers(0, V, M))
+    struct = jnp.asarray(rng.normal(size=(M, 20)).astype(np.float32))
+
+    index = build_triple_index_sharded(
+        bundle, mesh=mesh, entity_emb=ent, relation_emb=rel, nontext_mask=nontext,
+        heads=heads, rels=rels, tails=tails, struct_raw=struct,
+    )
+    index_sh = TripleIndex(
+        head_repr=jax.device_put(index.head_repr, sh),
+        rel_repr=jax.device_put(index.rel_repr, sh),
+        tail_repr=jax.device_put(index.tail_repr, sh),
+        struct_raw=jax.device_put(index.struct_raw, sh),
+    )
+    q = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+    v, i = query_topk_sharded(bundle, q, index_sh, mesh=mesh, k=K, chunk=512, dtype=jnp.float32)
+    assert v.shape == (B, K)
+    assert np.isfinite(np.asarray(v)).all()
+    assert int(np.asarray(i).max()) < M
+    # Exactness vs the unsharded path over the same index.
+    v_ref, i_ref = query_topk(bundle, q, index, k=K, chunk=512, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref), rtol=1e-4, atol=1e-5)

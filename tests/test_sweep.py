@@ -50,3 +50,54 @@ def test_run_sweep_picks_best_and_survives_failures(tmp_path):
     statuses = [t["status"] for t in res["trials"]]
     assert statuses.count("error") == 1 and statuses.count("ok") == 3
     assert (tmp_path / "sweep.json").exists()
+
+
+def test_tpe_converges_on_quadratic():
+    """TPE beats random on a smooth objective: after the startup phase,
+    suggestions concentrate near the optimum."""
+    from evi_rag_tpu.train.sweep import run_sweep
+
+    space = {
+        "a.x": {"dist": "uniform", "low": -2.0, "high": 2.0},
+        "a.lr": {"dist": "loguniform", "low": 1e-5, "high": 1e-1},
+        "a.c": {"dist": "choice", "values": ["good", "bad"]},
+    }
+
+    def objective(cfg):
+        x = cfg["a"]["x"]
+        lr = cfg["a"]["lr"]
+        bonus = 1.0 if cfg["a"]["c"] == "good" else 0.0
+        return {"score": -(x - 0.5) ** 2 - (np.log10(lr) + 3) ** 2 * 0.1 + bonus}
+
+    res = run_sweep(
+        {}, space, objective, monitor="score", mode="max",
+        strategy="tpe", num_trials=40, seed=0,
+    )
+    assert res["best"]["status"] == "ok"
+    # Late TPE trials should be better than the random startup on average.
+    scores = [t["score"] for t in res["trials"] if t["status"] == "ok"]
+    assert np.mean(scores[-10:]) > np.mean(scores[:5])
+    assert res["best"]["score"] > 0.8  # found the 'good' branch near x=0.5
+    assert res["best"]["overrides"]["a.c"] == "good"
+
+
+def test_tpe_int_uniform_and_failure_tolerance():
+    from evi_rag_tpu.train.sweep import run_sweep
+
+    space = {"b.n": {"dist": "int_uniform", "low": 1, "high": 16}}
+    calls = []
+
+    def objective(cfg):
+        n = cfg["b"]["n"]
+        calls.append(n)
+        if len(calls) == 3:
+            raise RuntimeError("boom")  # failure-tolerant
+        assert isinstance(n, int)
+        return {"score": -abs(n - 10)}
+
+    res = run_sweep(
+        {}, space, objective, monitor="score", mode="max",
+        strategy="tpe", num_trials=15, seed=1,
+    )
+    assert sum(t["status"] == "error" for t in res["trials"]) == 1
+    assert res["best"]["overrides"]["b.n"] in range(1, 17)
