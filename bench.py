@@ -67,24 +67,34 @@ def make_bundle(dim: int, hidden: int, struct_dim: int, seed: int = 0):
     return {"features": feats, "parity_meta": parity}
 
 
-def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5, engine: str = "pallas"):
-    """Time the query path.  engine: "pallas" (fused kernel) | "xla"."""
+def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5, engine: str = "pallas_fused", index_dtype=None):
+    """Time the query path.
+
+    engine: "pallas_fused" (batched in-kernel top-k; candidates stream once
+    per 8 queries) | "pallas" (one launch per query) | "xla".
+    """
     import jax
     import jax.numpy as jnp
 
-    from evi_rag_tpu.ops.pallas_score import pallas_query_topk
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk, pallas_query_topk_fused
     from evi_rag_tpu.ops.query import TripleIndex, query_topk
 
+    # index_dtype=bf16 keeps million-candidate indexes within HBM (the
+    # kernels cast to bf16 on entry anyway).
+    cast = lambda x: jnp.asarray(x, index_dtype) if index_dtype else jnp.asarray(x)
     index = TripleIndex(
-        head_repr=jnp.asarray(inputs["head"]),
-        rel_repr=jnp.asarray(inputs["rel"]),
-        tail_repr=jnp.asarray(inputs["tail"]),
-        struct_raw=jnp.asarray(inputs["struct"]),
+        head_repr=cast(inputs["head"]),
+        rel_repr=cast(inputs["rel"]),
+        tail_repr=cast(inputs["tail"]),
+        struct_raw=cast(inputs["struct"]),
     )
     bundle_j = jax.tree.map(jnp.asarray, bundle)
     q = jnp.asarray(inputs["q"])
 
-    if engine == "pallas":
+    if engine == "pallas_fused":
+        def run():
+            return pallas_query_topk_fused(bundle_j, q, index, k=k, bq=8, tile=512)
+    elif engine == "pallas":
         def run():
             return pallas_query_topk(bundle_j, q, index, k=k, tile=256)
     else:
@@ -312,15 +322,15 @@ def main():
     bundle = make_bundle(dim, hidden, struct_dim)
     inputs = build_inputs(num_candidates, dim, struct_dim, batch)
 
-    # Headline: the fused Pallas kernel; fall back to the pure-XLA streaming
-    # path if Mosaic compilation is unavailable in the environment.
-    engine = "pallas"
-    try:
-        qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096, engine="pallas")
-    except Exception as exc:
-        print(json.dumps({"pallas_fallback": str(exc)[:400]}), file=sys.stderr)
-        engine = "xla"
-        qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096, engine="xla")
+    # Headline: the fused batched top-k Pallas kernel; fall back to the
+    # per-query kernel, then the pure-XLA streaming path.
+    qps = dt = None
+    for engine in ("pallas_fused", "pallas", "xla"):
+        try:
+            qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096, engine=engine)
+            break
+        except Exception as exc:
+            print(json.dumps({f"{engine}_fallback": str(exc)[:400]}), file=sys.stderr)
     cpu_qps = bench_cpu_reference(bundle, inputs)
     vs = qps / cpu_qps if cpu_qps else float("nan")
 
@@ -330,6 +340,25 @@ def main():
         "query_latency_ms_batch8": round(dt * 1e3, 2),
         "cpu_reference_qps": round(cpu_qps, 4) if cpu_qps else None,
     }
+    # Million-candidate fan-out point (VERDICT #2 target: >=2x the XLA path).
+    try:
+        inputs_1m = build_inputs(1_048_576, dim, struct_dim, batch)
+        import jax.numpy as _jnp
+
+        qps_1m, _ = bench_tpu(
+            bundle, inputs_1m, k=k, chunk=4096, engine="pallas_fused", iters=3,
+            index_dtype=_jnp.bfloat16,
+        )
+        xla_1m, _ = bench_tpu(
+            bundle, inputs_1m, k=k, chunk=4096, engine="xla", iters=3,
+            index_dtype=_jnp.bfloat16,
+        )
+        details["query_qps_1m_candidates_fused"] = round(qps_1m, 2)
+        details["query_qps_1m_candidates_xla"] = round(xla_1m, 2)
+        details["fused_vs_xla_1m"] = round(qps_1m / xla_1m, 2)
+        del inputs_1m
+    except Exception as exc:
+        details["bench_1m_error"] = str(exc)[:300]
     try:
         details["knn_qps_262k_rows_d1024"] = round(bench_knn(), 2)
     except Exception as exc:  # secondary benchmarks must not break the headline

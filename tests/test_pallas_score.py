@@ -72,3 +72,55 @@ def test_topk_agreement(setup):
     for b in range(q.shape[0]):
         inter = set(np.asarray(i_ref[b]).tolist()) & set(np.asarray(i_got[b]).tolist())
         assert len(inter) >= 18
+
+
+def test_fused_topk_matches_per_query_kernel(setup):
+    """The batched in-kernel-top-k path returns exactly the same (value,
+    index) sets as the per-query kernel + lax.top_k (identical bf16 score
+    math, so values match bit-for-bit)."""
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk_fused
+
+    bundle, index, q = setup
+    K = 20
+    v_ref, i_ref = pallas_query_topk(bundle, q, index, k=K, tile=256, interpret=INTERPRET)
+    v_got, i_got = pallas_query_topk_fused(
+        bundle, q, index, k=K, bq=2, tile=256, interpret=INTERPRET
+    )
+    assert v_got.shape == (q.shape[0], K) and i_got.dtype == np.int32
+    for b in range(q.shape[0]):
+        ref = {int(i): float(v) for i, v in zip(np.asarray(i_ref[b]), np.asarray(v_ref[b]))}
+        got = {int(i): float(v) for i, v in zip(np.asarray(i_got[b]), np.asarray(v_got[b]))}
+        # The fused kernel's factorized math reassociates bf16 products, so
+        # scores carry ~1e-3 jitter; candidate sets must agree up to the
+        # k-th boundary and values must match to bf16 tolerance.
+        common = set(ref) & set(got)
+        assert len(common) >= K - 2, (b, set(ref) ^ set(got))
+        for i in common:
+            assert abs(ref[i] - got[i]) < 0.01 + 0.01 * abs(ref[i]), (b, i)
+    # Values come back sorted descending.
+    assert (np.diff(np.asarray(v_got), axis=1) <= 1e-6).all()
+
+
+def test_fused_topk_query_padding(setup):
+    """B not divisible by bq pads internally and strips the pad rows."""
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk_fused
+
+    bundle, index, q = setup
+    v1, i1 = pallas_query_topk_fused(bundle, q[:1], index, k=8, bq=2, tile=256, interpret=INTERPRET)
+    v2, i2 = pallas_query_topk_fused(bundle, q, index, k=8, bq=2, tile=256, interpret=INTERPRET)
+    assert v1.shape == (1, 8)
+    np.testing.assert_allclose(np.asarray(v1[0]), np.asarray(v2[0]), rtol=1e-5, atol=1e-5)
+
+
+def test_fused_topk_nonmultiple_candidates(setup):
+    """Right-pad candidates are masked out of the top-k (indices < M)."""
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk_fused
+
+    bundle, index, q = setup
+    sub = TripleIndex(
+        head_repr=index.head_repr[:777], rel_repr=index.rel_repr[:777],
+        tail_repr=index.tail_repr[:777], struct_raw=index.struct_raw[:777],
+    )
+    v, i = pallas_query_topk_fused(bundle, q, sub, k=16, bq=2, tile=256, interpret=INTERPRET)
+    assert int(np.asarray(i).max()) < 777
+    assert np.isfinite(np.asarray(v)).all()
