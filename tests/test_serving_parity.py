@@ -12,6 +12,13 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# On real TPU hardware, f32 matmuls accumulate differently than the CPU
+# backend (MXU passes); exactness assertions get a hardware tolerance.
+import jax as _jax
+
+_ON_TPU = _jax.default_backend() != "cpu"
+
+
 from evi_rag_tpu.data.feeder import Bucket, collate_retriever
 from evi_rag_tpu.data.synthetic import make_synthetic_dataset
 from evi_rag_tpu.models.dde import build_node_struct_features
@@ -57,7 +64,7 @@ def test_training_vs_serving_scores():
     )
     q = jnp.asarray(ds.question_emb[s.question_id : s.question_id + 1])
     serve_logits = np.asarray(score_all(bundle, q, index, dtype=jnp.float32)[0])
-    np.testing.assert_allclose(serve_logits, train_logits[:ne], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(serve_logits, train_logits[:ne], rtol=5e-3 if _ON_TPU else 1e-4, atol=5e-3 if _ON_TPU else 1e-5)
 
     # And the streaming top-k returns the true argmax set.
     k = min(10, ne)
