@@ -94,6 +94,55 @@ class AgentSample:
     def num_edges(self) -> int:
         return int(self.edge_relations.shape[0])
 
+    def validate(self) -> None:
+        """Strict record validation (the reference's ``_parse_sample``,
+        ``g_agent_dataset.py:96-297``): shape agreement, index ranges,
+        score finiteness, redundant-field cross-checks, and
+        dummy/reachability consistency."""
+        sid = self.sample_id
+        e = self.num_edges
+        for name in ("edge_head_locals", "edge_tail_locals", "edge_scores", "edge_labels"):
+            if getattr(self, name).shape[0] != e:
+                raise ValueError(f"{sid}: {name} length != num_edges")
+        if e:
+            lo = min(int(self.edge_head_locals.min()), int(self.edge_tail_locals.min()))
+            hi = max(int(self.edge_head_locals.max()), int(self.edge_tail_locals.max()))
+            if lo < 0 or hi >= self.num_nodes:
+                raise ValueError(f"{sid}: edge endpoints out of node range")
+        if not np.isfinite(self.edge_scores).all():
+            raise ValueError(f"{sid}: non-finite edge_scores")
+        for name in ("node_entity_ids", "node_embedding_ids"):
+            if getattr(self, name).shape[0] != self.num_nodes:
+                raise ValueError(f"{sid}: {name} length != num_nodes")
+        for name in ("start_node_locals", "answer_node_locals",
+                     "pair_start_local", "pair_answer_local"):
+            arr = getattr(self, name)
+            if arr.size and (arr.min() < 0 or arr.max() >= self.num_nodes):
+                raise ValueError(f"{sid}: {name} out of range")
+        # Redundant-field cross-checks: local anchors must name the same
+        # entities the global id fields do.
+        starts = set(self.node_entity_ids[self.start_node_locals].tolist())
+        if not starts <= set(self.start_entity_ids.tolist()):
+            raise ValueError(f"{sid}: start_node_locals disagree with start_entity_ids")
+        answers_local = set(self.node_entity_ids[self.answer_node_locals].tolist())
+        if not answers_local <= set(self.answer_entity_ids.tolist()):
+            raise ValueError(f"{sid}: answer_node_locals disagree with answer_entity_ids")
+        # Dummy/reachability consistency (reference checks these jointly).
+        if self.start_node_locals.size == 0:
+            raise ValueError(f"{sid}: start_node_locals must be non-empty")
+        if self.is_dummy_agent and self.answer_node_locals.size:
+            raise ValueError(f"{sid}: dummy agent with in-graph answers")
+        if (not self.is_dummy_agent) and self.answer_node_locals.size == 0:
+            raise ValueError(f"{sid}: non-dummy agent without answer locals")
+        if self.is_answer_reachable == self.is_dummy_agent:
+            raise ValueError(f"{sid}: reachability flag inconsistent with dummy flag")
+        if self.is_answer_reachable and not self.is_dummy_agent:
+            if self.pair_start_local.size == 0:
+                raise ValueError(f"{sid}: reachable agent without pair supervision")
+        p = self.pair_start_local.shape[0]
+        if self.pair_answer_local.shape[0] != p or self.pair_shortest_len.shape[0] != p:
+            raise ValueError(f"{sid}: pair field length mismatch")
+
 
 def node_softmax_logit(
     scores: np.ndarray, heads: np.ndarray, tails: np.ndarray, num_nodes: int

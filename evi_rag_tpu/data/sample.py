@@ -51,3 +51,25 @@ class RetrievalSample:
         p = self.pair_start_local.shape[0]
         if self.pair_answer_local.shape[0] != p or self.pair_shortest_len.shape[0] != p:
             raise ValueError(f"{self.sample_id}: pair field length mismatch")
+        # Cross-field invariants (reference validator depth,
+        # g_retrieval_dataset.py:597-827): duplicate anchors, pair lengths,
+        # label/pair consistency.
+        import numpy as _np
+
+        for name in ("topic_locals", "answer_locals"):
+            arr = getattr(self, name)
+            if arr.size != _np.unique(arr).size:
+                raise ValueError(f"{self.sample_id}: duplicate entries in {name}")
+        if p and int(self.pair_shortest_len.min()) < 0:
+            raise ValueError(f"{self.sample_id}: negative pair_shortest_len")
+        if p:
+            zero_len = self.pair_shortest_len == 0
+            same = self.pair_start_local == self.pair_answer_local
+            if bool((zero_len != same).any()):
+                raise ValueError(
+                    f"{self.sample_id}: pair_shortest_len==0 must coincide with start==answer"
+                )
+        if bool(_np.asarray(self.edge_labels).any()) and p == 0:
+            raise ValueError(
+                f"{self.sample_id}: positive edges without pair supervision"
+            )

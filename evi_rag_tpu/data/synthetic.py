@@ -46,6 +46,7 @@ def make_synthetic_dataset(
     avg_extra_edges: float = 2.0,
     nontext_fraction: float = 0.1,
     num_seeds: int = 1,
+    distractor_relation_overlap: float = 1.0,
     num_answers: int = 1,
     seed: int = 0,
 ) -> SyntheticDataset:
@@ -87,7 +88,23 @@ def make_synthetic_dataset(
         edges = path_edges + list(zip(src[keep].tolist(), dst[keep].tolist()))
         edge_index = np.asarray(edges, dtype=np.int64).T.reshape(2, -1)
 
+        # Relation assignment.  With overlap < 1, each question draws a small
+        # private relation set for its planted path and distractors mostly
+        # avoid it -- mirroring real KGs where the answer relation is
+        # distinctive -- so the question-conditioned scorer has a clean
+        # learnable signal (the default 1.0 keeps relations uniform).
+        n_planted = len(path_edges)
         rel = rng.integers(0, num_relations, size=edge_index.shape[1]).astype(np.int64)
+        if distractor_relation_overlap < 1.0 and num_relations >= 4:
+            k_path = min(3, max(1, num_relations // 8))
+            path_set = rng.choice(num_relations, size=k_path, replace=False)
+            rel[:n_planted] = rng.choice(path_set, size=n_planted)
+            others = np.setdiff1d(np.arange(num_relations), path_set)
+            n_rest = edge_index.shape[1] - n_planted
+            if n_rest > 0:
+                off_path = rng.choice(others, size=n_rest)
+                keep_uniform = rng.random(n_rest) < distractor_relation_overlap
+                rel[n_planted:] = np.where(keep_uniform, rel[n_planted:], off_path)
         emb_ids = rng.integers(1, num_entities, size=n).astype(np.int64)
         nontext = rng.random(n) < nontext_fraction
         emb_ids[nontext] = 0

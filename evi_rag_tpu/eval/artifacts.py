@@ -139,22 +139,9 @@ def load_agent_store(
 
 
 def _validate_agent_sample(s: AgentSample) -> None:
-    e = s.num_edges
-    for name in ("edge_tail_locals", "edge_relations", "edge_scores", "edge_labels"):
-        if getattr(s, name).shape[0] != e:
-            raise ValueError(f"{s.sample_id}: {name} length mismatch ({getattr(s, name).shape[0]} != {e})")
-    if e and max(int(s.edge_head_locals.max()), int(s.edge_tail_locals.max())) >= s.num_nodes:
-        raise ValueError(f"{s.sample_id}: edge locals out of range")
-    if s.node_embedding_ids.shape[0] != s.num_nodes:
-        raise ValueError(f"{s.sample_id}: node_embedding_ids length mismatch")
-    if s.start_node_locals.size == 0:
-        raise ValueError(f"{s.sample_id}: start_node_locals must be non-empty")
-    if s.is_dummy_agent and s.answer_node_locals.size > 0:
-        raise ValueError(f"{s.sample_id}: dummy agent with answer locals")
-    if (not s.is_dummy_agent) and s.answer_node_locals.size == 0:
-        raise ValueError(f"{s.sample_id}: non-dummy agent without answer locals")
-    if s.is_answer_reachable == s.is_dummy_agent:
-        raise ValueError(f"{s.sample_id}: reachability flag inconsistent with dummy flag")
+    # Single source of truth: the dataclass's strict validator
+    # (reference ``_parse_sample`` depth, ``g_agent_dataset.py:96-297``).
+    s.validate()
 
 
 def write_topk_edges(

@@ -58,8 +58,12 @@ def main() -> None:
 
     t_start = time.time()
     ks = (1, 5, 10, 25, 50, 100)
-    train_ds = make_synthetic_dataset(num_samples=args.samples, emb_dim=args.emb, max_nodes=32, seed=0)
-    test_ds = make_synthetic_dataset(num_samples=max(args.samples // 4, 16), emb_dim=args.emb, max_nodes=32, seed=100)
+    # distractor_relation_overlap < 1 gives the task a clean learnable
+    # signal (relation-distinctive answers, like real KGs) so margins and
+    # separation are meaningful quality indicators, not just plumbing proof.
+    kw = dict(emb_dim=args.emb, max_nodes=32, distractor_relation_overlap=0.15)
+    train_ds = make_synthetic_dataset(num_samples=args.samples, seed=0, **kw)
+    test_ds = make_synthetic_dataset(num_samples=max(args.samples // 4, 16), seed=100, **kw)
     model = Retriever(emb_dim=args.emb, hidden_dim=args.emb, dropout_p=0.0)
     cfg = RetrieverTrainConfig(
         loss=RetrieverLossConfig(),

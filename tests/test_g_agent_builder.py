@@ -117,3 +117,73 @@ def test_hop_filter_prunes_far_edges():
     assert s is not None
     # edge (3->4) requires nodes at distance >=2 from start 0; must be gone.
     assert 104 not in s.node_entity_ids
+
+
+def test_agent_sample_validator_rejects_corruption():
+    """Strict validator catches the reference's _parse_sample error classes:
+    range violations, redundant-field disagreement, flag inconsistency."""
+    import dataclasses
+
+    import pytest
+
+    from evi_rag_tpu.data.g_agent import AgentSample
+
+    ok = AgentSample(
+        sample_id="v0", question_id=0, num_nodes=3,
+        edge_head_locals=np.array([0, 1]), edge_tail_locals=np.array([1, 2]),
+        edge_relations=np.array([0, 1]), edge_scores=np.array([0.5, -0.5], np.float32),
+        edge_labels=np.array([1.0, 1.0], np.float32),
+        node_entity_ids=np.array([10, 11, 12]), node_embedding_ids=np.array([1, 2, 0]),
+        start_entity_ids=np.array([10]), answer_entity_ids=np.array([12]),
+        start_node_locals=np.array([0]), answer_node_locals=np.array([2]),
+        pair_start_local=np.array([0]), pair_answer_local=np.array([2]),
+        pair_shortest_len=np.array([2]),
+        is_answer_reachable=True, is_dummy_agent=False,
+    )
+    ok.validate()
+
+    bad_cases = [
+        {"edge_tail_locals": np.array([1, 5])},                    # out of range
+        {"edge_scores": np.array([np.nan, 0.0], np.float32)},      # non-finite
+        {"start_node_locals": np.array([], np.int64)},             # empty starts
+        {"answer_node_locals": np.array([1])},                     # id mismatch
+        {"is_dummy_agent": True},                                  # flags inconsistent
+        {"pair_shortest_len": np.array([2, 3])},                   # pair length
+    ]
+    for patch in bad_cases:
+        bad = dataclasses.replace(ok, **patch)
+        with pytest.raises(ValueError):
+            bad.validate()
+
+
+def test_retrieval_sample_validator_cross_checks():
+    import dataclasses
+
+    import pytest
+
+    from evi_rag_tpu.data.sample import RetrievalSample
+
+    ok = RetrievalSample(
+        sample_id="r0", num_nodes=3,
+        edge_index=np.array([[0, 1], [1, 2]], np.int32),
+        edge_relations=np.array([0, 1]),
+        node_embedding_ids=np.array([1, 2, 0]),
+        topic_locals=np.array([0]), answer_locals=np.array([2]),
+        edge_labels=np.array([True, True]),
+        pair_start_local=np.array([0], np.int32),
+        pair_answer_local=np.array([2], np.int32),
+        pair_shortest_len=np.array([2], np.int32),
+        question_id=0,
+    )
+    ok.validate()
+    with pytest.raises(ValueError):  # duplicate topics
+        dataclasses.replace(ok, topic_locals=np.array([0, 0])).validate()
+    with pytest.raises(ValueError):  # zero-length pair with distinct endpoints
+        dataclasses.replace(ok, pair_shortest_len=np.array([0], np.int32)).validate()
+    with pytest.raises(ValueError):  # labels without pair supervision
+        dataclasses.replace(
+            ok,
+            pair_start_local=np.array([], np.int32),
+            pair_answer_local=np.array([], np.int32),
+            pair_shortest_len=np.array([], np.int32),
+        ).validate()
