@@ -93,7 +93,7 @@ def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5, engine: str
 
     if engine == "pallas_fused":
         def run():
-            return pallas_query_topk_fused(bundle_j, q, index, k=k, bq=8, tile=512)
+            return pallas_query_topk_fused(bundle_j, q, index, k=k, bq=8)
     elif engine == "pallas":
         def run():
             return pallas_query_topk(bundle_j, q, index, k=k, tile=256)

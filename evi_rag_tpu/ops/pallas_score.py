@@ -484,7 +484,7 @@ def pallas_query_topk_fused(
     *,
     k: int,
     bq: int = 8,
-    tile: int = 512,
+    tile: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact batched top-k with in-kernel streaming selection.
@@ -495,6 +495,10 @@ def pallas_query_topk_fused(
     only O(bq x k) values ever reach HBM.  Queries pad up to a multiple of
     ``bq``; one compiled program handles any B.
     """
+    if tile is None:
+        # Measured on v5e: tile=1024 wins at ~100k candidates (fewer grid
+        # steps), tile=512 wins at 1M+ (pipelining hides the deeper sweep).
+        tile = 512 if index.num_candidates >= 512 * 1024 else 1024
     B = q_emb.shape[0]
     padb = (-B) % bq
     if padb:

@@ -131,11 +131,26 @@ def load_checkpoint(
         raise ValueError(
             f"checkpoint schema_version {meta.get('schema_version')} != {SCHEMA_VERSION}"
         )
-    with ocp.StandardCheckpointer() as ckptr:
-        if example is not None:
-            tree = ckptr.restore(path / "state", target=example)
-        else:
-            tree = ckptr.restore(path / "state")
+    import logging as _logging
+
+    class _SilenceTargetWarning(_logging.Filter):
+        # Restores without a target are safe here: saves are plain numpy
+        # trees (see save_checkpoint) with a digest check below, so orbax's
+        # "UNSAFE without target" warning is noise for this format.
+        def filter(self, record: _logging.LogRecord) -> bool:
+            return "target tree to be provided" not in record.getMessage()
+
+    absl_logger = _logging.getLogger("absl")
+    filt = _SilenceTargetWarning()
+    absl_logger.addFilter(filt)
+    try:
+        with ocp.StandardCheckpointer() as ckptr:
+            if example is not None:
+                tree = ckptr.restore(path / "state", target=example)
+            else:
+                tree = ckptr.restore(path / "state")
+    finally:
+        absl_logger.removeFilter(filt)
     if strict_digest:
         got = params_digest(tree["params"])
         want = meta.get("params_sha256")
