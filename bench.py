@@ -175,6 +175,36 @@ def bench_cpu_reference(bundle, inputs, *, reduced: int = 2048):
     return 1.0 / dt_full  # queries/sec (single CPU)
 
 
+def bench_index_build(dim: int = 1024, vocab: int = 262144, rels: int = 1024, m: int = 1_048_576):
+    """Index build time: project the entity/relation tables through the
+    trained projectors and gather 1M candidate rows (``build_triple_index``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.ops.query import build_triple_index
+
+    bundle = jax.tree.map(jnp.asarray, make_bundle(dim, dim, 20, seed=3))
+    rng = np.random.default_rng(2)
+    ent = jnp.asarray(rng.normal(size=(vocab, dim)).astype(np.float32) * 0.1)
+    rel = jnp.asarray(rng.normal(size=(rels, dim)).astype(np.float32) * 0.1)
+    nontext = jnp.asarray(rng.random(vocab) < 0.05)
+    heads = jnp.asarray(rng.integers(0, vocab, m, dtype=np.int32))
+    rs = jnp.asarray(rng.integers(0, rels, m, dtype=np.int32))
+    tails = jnp.asarray(rng.integers(0, vocab, m, dtype=np.int32))
+    struct = jnp.asarray(rng.normal(size=(m, 20)).astype(np.float32))
+
+    build = jax.jit(
+        lambda: build_triple_index(
+            bundle, entity_emb=ent, relation_emb=rel, nontext_mask=nontext,
+            heads=heads, rels=rs, tails=tails, struct_raw=struct,
+        )
+    )
+    np.asarray(build().head_repr[0])  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(build().head_repr[0])
+    return (time.perf_counter() - t0) * 1e3  # ms
+
+
 def bench_knn(dim: int = 1024, table_rows: int = 262144, batch: int = 64, k: int = 100):
     """Secondary: exact kNN over an embedding table (entity linking path)."""
     import jax
@@ -359,6 +389,12 @@ def main():
         del inputs_1m
     except Exception as exc:
         details["bench_1m_error"] = str(exc)[:300]
+    # Index build: project + gather 1M candidate triples from a 262k-entity
+    # table (BASELINE.json names "index build time" alongside query qps).
+    try:
+        details["index_build_1m_candidates_ms"] = round(bench_index_build(), 1)
+    except Exception as exc:
+        details["index_build_error"] = str(exc)[:300]
     try:
         details["knn_qps_262k_rows_d1024"] = round(bench_knn(), 2)
     except Exception as exc:  # secondary benchmarks must not break the headline
