@@ -27,6 +27,22 @@ def setup():
     return bundle, index, jnp.asarray(ins["q"])
 
 
+def test_prep_weights_fold_is_exact(setup):
+    """The serving fold score_head(state_net_1(z)) == z @ (W2 @ w_sc) + b
+    is exact algebra in f32 (no nonlinearity between the two layers)."""
+    from evi_rag_tpu.ops.nnfn import dense
+    from evi_rag_tpu.ops.pallas_score import _prep_weights
+
+    bundle, _, _ = setup
+    feats = bundle["features"]
+    w = _prep_weights(feats)
+    rng = np.random.default_rng(0)
+    z = jnp.asarray(rng.normal(size=(64, H)).astype(np.float32))
+    ref = dense(feats["score_head"], dense(feats["state_net_1"], z))[:, 0]
+    got = z @ w["w2s"][:, 0] + w["b2s"][0]
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
+
+
 def test_kernel_matches_xla_scores(setup):
     bundle, index, q = setup
     ref = np.asarray(score_all(bundle, q[:1], index, dtype=jnp.bfloat16)[0])
