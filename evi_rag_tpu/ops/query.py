@@ -300,6 +300,66 @@ def query_topk_sharded(
     return run(q_emb, index.head_repr, index.rel_repr, index.tail_repr, index.struct_raw)
 
 
+def query_topk_sharded_fused(
+    bundle: dict[str, Any],
+    q_emb: jax.Array,       # [B, D]
+    index: TripleIndex,     # candidate axis sharded over the mesh data axis
+    *,
+    mesh,
+    k: int,
+    bq: int = 8,
+    tile: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-kernel variant of :func:`query_topk_sharded`.
+
+    Same sharding contract (candidate arrays row-sharded ``P('data')``, equal
+    shards), but each device runs the in-kernel streaming top-k Pallas path
+    (``ops.pallas_score.pallas_query_topk_fused``) over its local shard
+    instead of the chunked XLA scorer, so the multi-chip fan-out inherits
+    the single-chip kernel speedup.  The k-merge stays one [k]-row
+    ``all_gather`` over ICI.  ``interpret=True`` runs the kernel in Pallas
+    interpret mode (CPU meshes / tests).
+    """
+    from functools import partial as _partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk_fused
+
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    m = index.num_candidates
+    if m % n_dev != 0:
+        raise ValueError(f"candidate count {m} must divide evenly over {n_dev} devices")
+    local_m = m // n_dev
+
+    @_partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def run(q, h, r, t, s):
+        local = TripleIndex(head_repr=h, rel_repr=r, tail_repr=t, struct_raw=s)
+        v, i = pallas_query_topk_fused(
+            bundle, q, local, k=k, bq=bq, tile=tile, interpret=interpret,
+        )
+        i = i + jax.lax.axis_index(axis).astype(jnp.int32) * local_m
+        vs = jax.lax.all_gather(v, axis, axis=0)      # [n_dev, B, k]
+        is_ = jax.lax.all_gather(i, axis, axis=0)
+        b = q.shape[0]
+        vs = jnp.transpose(vs, (1, 0, 2)).reshape(b, -1)
+        is_ = jnp.transpose(is_, (1, 0, 2)).reshape(b, -1)
+        top_v, pos = jax.lax.top_k(vs, k)
+        top_i = jnp.take_along_axis(is_, pos, axis=1)
+        return top_v, top_i
+
+    return run(q_emb, index.head_repr, index.rel_repr, index.tail_repr, index.struct_raw)
+
+
 def score_all(
     bundle: dict[str, Any],
     q_emb: jax.Array,

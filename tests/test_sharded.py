@@ -81,6 +81,41 @@ def test_sharded_query_topk_matches_single_device():
         assert set(np.asarray(i_got[b]).tolist()) == set(np.asarray(i_ref[b]).tolist())
 
 
+def test_sharded_fused_query_matches_unsharded_kernel():
+    """query_topk_sharded_fused (Pallas kernel per shard + all-gather k-merge)
+    reproduces the unsharded fused kernel's top-k exactly: per-candidate
+    scores are shard-invariant, so only the merge can differ."""
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk_fused
+    from evi_rag_tpu.ops.query import query_topk_sharded_fused
+
+    D, S, M, B, K = 64, 20, 1024, 4, 16
+    bundle = jax.tree.map(jnp.asarray, make_bundle(D, D, S, seed=5))
+    ins = build_inputs(M, D, S, B, seed=5)
+    index = TripleIndex(
+        head_repr=jnp.asarray(ins["head"]), rel_repr=jnp.asarray(ins["rel"]),
+        tail_repr=jnp.asarray(ins["tail"]), struct_raw=jnp.asarray(ins["struct"]),
+    )
+    q = jnp.asarray(ins["q"])
+    v_ref, i_ref = pallas_query_topk_fused(
+        bundle, q, index, k=K, bq=4, tile=128, interpret=True
+    )
+
+    mesh = make_mesh(8)
+    sh = NamedSharding(mesh, P("data"))
+    index_sh = TripleIndex(
+        head_repr=jax.device_put(index.head_repr, sh),
+        rel_repr=jax.device_put(index.rel_repr, sh),
+        tail_repr=jax.device_put(index.tail_repr, sh),
+        struct_raw=jax.device_put(index.struct_raw, sh),
+    )
+    v_got, i_got = query_topk_sharded_fused(
+        bundle, q, index_sh, mesh=mesh, k=K, bq=4, tile=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(v_got), np.asarray(v_ref), rtol=1e-5, atol=1e-5)
+    for b in range(B):
+        assert set(np.asarray(i_got[b]).tolist()) == set(np.asarray(i_ref[b]).tolist())
+
+
 def test_multihost_gather_single_process():
     from evi_rag_tpu.parallel.multihost import gather_records, is_main_process, main_process_only
 
