@@ -16,6 +16,7 @@ Tasks (the reference's experiment aliases, ``configs/experiment/*``):
 * ``eval_gflownet``   -- rollout artifacts + answer_hit@k metrics
 * ``bfs_chains``      -- non-learned BFS chain baseline artifact
 * ``reasoner``        -- LLM / oracle answering + semantic dissipation
+* ``serve``           -- index-and-query engine over a split (north star)
 
 Every task writes ``metrics.json`` + a config snapshot into a timestamped run
 dir (the reference's Hydra run-dir convention).
@@ -959,6 +960,96 @@ def task_sweep(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
 
 
 @task_wrapper
+def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
+    """North-star serving surface: checkpoint -> pre-projected index ->
+    batched per-question top-k over a split, with measured q/s and
+    triple recall@k (BASELINE.json "queries/sec/chip at matched recall").
+
+    Writes ``<split>_serve.jsonl`` (rank-ordered triples per question,
+    detextualized when the dataset carries a vocab) + ``metrics.json``.
+    """
+    import jax.numpy as jnp
+
+    from evi_rag_tpu.serving import project_tables, serve_recall_at_k, serve_split
+
+    _enforce_single_process_eval(cfg)
+    sv = cfg.get("serve", {})
+    splits = list(sv.get("splits", ["test"]))
+    k = int(sv.get("k", 100))
+    group_size = int(sv.get("group_size", 16))
+    dtype = jnp.bfloat16 if str(sv.get("compute_dtype", "bfloat16")) == "bfloat16" else jnp.float32
+    k_grid = [int(v) for v in sv.get("k_values", DEFAULT_K_GRID) if int(v) <= k]
+
+    first_samples, ent, rel, q = _load_split(cfg, splits[0])
+    model = _retriever_model(cfg, inferred_dim=ent.shape[1])
+    params, _meta = _load_retriever_ckpt(cfg, model)
+    from evi_rag_tpu.train.checkpoint import export_retriever_features
+
+    bundle = export_retriever_features(params["params"] if "params" in params else params,
+                                       model.parity_meta())
+    pm = bundle["parity_meta"]
+    import time as _time
+
+    t_proj = _time.perf_counter()
+    tables = project_tables(bundle, ent, rel)
+    proj_s = round(_time.perf_counter() - t_proj, 4)
+    ent2label, rel2label = _vocab_maps(cfg)
+
+    out: dict[str, Any] = {}
+    for si, split in enumerate(splits):
+        samples, ent_s, rel_s, q_emb = (
+            (first_samples, ent, rel, q) if si == 0 else _load_split(cfg, split)
+        )
+        if not samples:
+            continue
+        results, stats = serve_split(
+            bundle, samples,
+            entity_emb=ent_s, relation_emb=rel_s, question_emb=q_emb,
+            k=k, num_rounds=int(pm["dde_rounds"]),
+            num_reverse_rounds=int(pm["dde_reverse_rounds"]),
+            group_size=group_size, dtype=dtype, projected=tables,
+        )
+        out[f"{split}/num_questions"] = stats.num_questions
+        out[f"{split}/queries_per_s"] = stats.queries_per_s
+        out[f"{split}/scoring_s"] = stats.scoring_s
+        out[f"{split}/index_build_s"] = proj_s
+        out.update({f"{split}/{m}": v for m, v in
+                    serve_recall_at_k(samples, results, k_grid).items()})
+
+        if bool(sv.get("write_jsonl", True)):
+            by_id = {s.sample_id: s for s in samples}
+            path = run_dir / f"{split}_serve.jsonl"
+            with path.open("w") as f:
+                for r in results:
+                    s = by_id[r.sample_id]
+                    ent_ids = (
+                        s.node_entity_ids
+                        if s.node_entity_ids is not None
+                        else np.arange(s.num_nodes, dtype=np.int64)
+                    )
+                    triples = []
+                    for e in r.edge_ids.tolist():
+                        h = int(ent_ids[s.edge_index[0][e]])
+                        rr = int(s.edge_relations[e])
+                        t = int(ent_ids[s.edge_index[1][e]])
+                        if ent2label:
+                            triples.append(
+                                [ent2label.get(h, str(h)), rel2label.get(rr, str(rr)),
+                                 ent2label.get(t, str(t))]
+                            )
+                        else:
+                            triples.append([h, rr, t])
+                    f.write(json.dumps({
+                        "sample_id": r.sample_id,
+                        "scores": [round(float(v), 5) for v in r.scores.tolist()],
+                        "triples": triples,
+                    }) + "\n")
+            out[f"{split}/serve_jsonl"] = str(path)
+    save_metrics_json(run_dir / "metrics.json", out)
+    return out
+
+
+@task_wrapper
 def task_seed_stats(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     """One-hop seed diagnostics: per-seed incident-edge counts and positive
     ratios with percentiles (reference ``scripts/seed_onehop_stats.py``)."""
@@ -1053,6 +1144,7 @@ TASKS: dict[str, Callable] = {
     "reasoner": task_reasoner,
     "sweep": task_sweep,
     "seed_stats": task_seed_stats,
+    "serve": task_serve,
 }
 
 

@@ -300,6 +300,45 @@ def query_topk_sharded(
     return run(q_emb, index.head_repr, index.rel_repr, index.tail_repr, index.struct_raw)
 
 
+@partial(jax.jit, static_argnames=("k", "dtype"))
+def query_topk_per_question(
+    bundle: dict[str, Any],
+    q_emb: jax.Array,        # [G, D] question embeddings
+    head_repr: jax.Array,    # [G, M, D] per-question candidate rows (padded)
+    rel_repr: jax.Array,     # [G, M, D]
+    tail_repr: jax.Array,    # [G, M, D]
+    struct_raw: jax.Array,   # [G, M, S]
+    edge_valid: jax.Array,   # [G, M] bool (False on padding)
+    *,
+    k: int,
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """Serving over per-question subgraphs: each question scores only its
+    own candidate set (the reference's retrieval semantics -- scores are
+    exactly ``Retriever.apply`` logits) and keeps a local top-k.
+
+    Candidates arrive pre-projected (``build_triple_index`` tables), so the
+    per-question work is just the query-conditioned geometry + MLP head --
+    the batched form keeps the [G*M, D]x[D, H] matmuls MXU-shaped.  Padding
+    scores are -inf, so ``k`` may exceed a question's true edge count.
+    Returns ([G, k] scores, [G, k] local candidate ids).
+    """
+    feats = bundle["features"]
+    s_dim = struct_raw.shape[-1] // 2
+
+    def one(q_row, h, r, t, s, ok):
+        _, gate, bias = _query_context(feats, q_row)
+        fwd = _score_chunk(feats, gate, bias, h, r, t, s, dtype=dtype)
+        s_swap = jnp.concatenate([s[:, s_dim:], s[:, :s_dim]], axis=-1)
+        bwd = _score_chunk(feats, gate, bias, t, r, h, s_swap, dtype=dtype)
+        stacked = jnp.stack([fwd, bwd])
+        w = jax.nn.softmax(stacked, axis=0)
+        scores = jnp.where(ok, jnp.sum(w * stacked, axis=0), -jnp.inf)
+        return jax.lax.top_k(scores, k)
+
+    return jax.vmap(one)(q_emb, head_repr, rel_repr, tail_repr, struct_raw, edge_valid)
+
+
 def query_topk_sharded_fused(
     bundle: dict[str, Any],
     q_emb: jax.Array,       # [B, D]

@@ -1,0 +1,236 @@
+"""Split-serving engine: trained retriever -> pre-projected tables -> batched
+per-question top-k.
+
+The north-star product surface (BASELINE.json): the trained retriever becomes
+an index-and-query engine.  At index build time the entity/relation embedding
+tables are pushed through the frozen projectors **once per checkpoint**
+(reference: the per-batch ``EmbeddingProjector`` forward inside
+``src/models/components/retriever.py:403-451`` re-projects every edge
+occurrence on every batch); per query only the question-conditioned geometry
++ MLP head run.  Per-question struct features (topic-anchored DDE,
+``retriever.py:519-553``) are parameter-free and recomputed on device from
+topology alone, exactly as in training -- serving scores equal
+``Retriever.apply`` logits (see ``tests/test_serving_parity.py``).
+
+Questions are grouped into power-of-two edge-count buckets (one compiled
+program per bucket shape, XLA static-shape discipline) and scored with the
+batched ``ops.query.query_topk_per_question`` path, keeping the
+``[G*M, D]x[D, H]`` matmuls MXU-shaped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evi_rag_tpu.data.sample import RetrievalSample
+from evi_rag_tpu.models.dde import build_node_struct_features
+from evi_rag_tpu.ops.nnfn import projector as _projector
+from evi_rag_tpu.ops.query import query_topk_per_question
+
+
+def project_tables(
+    bundle: dict[str, Any],
+    entity_emb: np.ndarray,     # [V, D] raw text embeddings (row 0 = non-text)
+    relation_emb: np.ndarray,   # [R, D]
+    *,
+    chunk: int = 65536,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Apply the frozen projectors to the full vocab once (index build).
+
+    Returns host-side float32 tables; row 0 of the entity table is replaced
+    by the learned non-text entity row, matching the embedding-table row-0
+    reservation (reference ``text_encode_utils.py:70-112`` row-0 contract and
+    ``retriever.py:130-133`` non_text_entity_emb).
+    """
+    feats = bundle["features"]
+    ent_proj = jax.jit(lambda x: _projector(feats["entity_proj"], x))
+    parts = []
+    for i in range(0, entity_emb.shape[0], chunk):
+        rows = np.asarray(entity_emb[i : i + chunk], dtype=np.float32)
+        parts.append(np.asarray(ent_proj(jnp.asarray(rows))))
+    ent = np.concatenate(parts, axis=0)
+    non_text = np.asarray(
+        _projector(feats["entity_proj"], feats["non_text_entity_emb"][None, :])
+    )[0]
+    ent[0] = non_text
+    rel = np.asarray(
+        jax.jit(lambda x: _projector(feats["relation_proj"], x))(
+            jnp.asarray(np.asarray(relation_emb, dtype=np.float32))
+        )
+    )
+    return ent, rel
+
+
+@partial(jax.jit, static_argnames=("k", "num_rounds", "num_reverse_rounds", "dtype"))
+def serve_group(
+    bundle: dict[str, Any],
+    q_emb: jax.Array,          # [G, D]
+    head_repr: jax.Array,      # [G, M, D] pre-projected candidate rows
+    rel_repr: jax.Array,       # [G, M, D]
+    tail_repr: jax.Array,      # [G, M, D]
+    topic_one_hot: jax.Array,  # [G, N, 2]
+    edge_index: jax.Array,     # [G, 2, M] local node ids (padding -> node N-1)
+    edge_mask: jax.Array,      # [G, M] bool
+    *,
+    k: int,
+    num_rounds: int,
+    num_reverse_rounds: int,
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, jax.Array]:
+    """One compiled serving step for a bucket of questions: on-device DDE
+    struct rebuild + batched score + per-question top-k."""
+
+    def struct_of(t, ei, em):
+        ns = build_node_struct_features(
+            t, ei, num_rounds=num_rounds,
+            num_reverse_rounds=num_reverse_rounds, edge_mask=em,
+        )
+        return jnp.concatenate([ns[ei[0]], ns[ei[1]]], axis=-1)
+
+    struct_raw = jax.vmap(struct_of)(topic_one_hot, edge_index, edge_mask)
+    return query_topk_per_question(
+        bundle, q_emb, head_repr, rel_repr, tail_repr, struct_raw, edge_mask,
+        k=k, dtype=dtype,
+    )
+
+
+@dataclasses.dataclass
+class ServeResult:
+    sample_id: str
+    question_id: int
+    edge_ids: np.ndarray    # [k'] local candidate edge ids, rank order
+    scores: np.ndarray      # [k'] f32
+
+
+@dataclasses.dataclass
+class ServeStats:
+    num_questions: int
+    index_build_s: float
+    scoring_s: float
+    queries_per_s: float
+    num_groups: int
+
+
+def _pow2_at_least(n: int, lo: int = 8) -> int:
+    v = lo
+    while v < n:
+        v *= 2
+    return v
+
+
+def serve_split(
+    bundle: dict[str, Any],
+    samples: Sequence[RetrievalSample],
+    *,
+    entity_emb: np.ndarray,
+    relation_emb: np.ndarray,
+    question_emb: np.ndarray,
+    k: int,
+    num_rounds: int,
+    num_reverse_rounds: int,
+    group_size: int = 16,
+    dtype=jnp.bfloat16,
+    projected: tuple[np.ndarray, np.ndarray] | None = None,
+) -> tuple[list[ServeResult], ServeStats]:
+    """Serve every question of a split through the engine.
+
+    Samples are sorted by edge count and grouped ``group_size`` at a time
+    into pow-2 padded buckets; results are returned in the original order.
+    ``projected`` lets callers reuse ``project_tables`` output across splits.
+    """
+    t0 = time.perf_counter()
+    if projected is None:
+        projected = project_tables(bundle, entity_emb, relation_emb)
+    ent_t, rel_t = projected
+    index_build_s = time.perf_counter() - t0
+
+    order = sorted(range(len(samples)), key=lambda i: samples[i].edge_index.shape[1])
+    results: list[ServeResult | None] = [None] * len(samples)
+    t1 = time.perf_counter()
+    num_groups = 0
+    for g0 in range(0, len(order), group_size):
+        idxs = order[g0 : g0 + group_size]
+        group = [samples[i] for i in idxs]
+        m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
+        m_pad = max(m_pad, _pow2_at_least(k))
+        n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
+        G = len(group)
+        heads = np.zeros((G, m_pad, ent_t.shape[1]), np.float32)
+        rels = np.zeros_like(heads)
+        tails = np.zeros_like(heads)
+        topic = np.zeros((G, n_pad, 2), np.float32)
+        eidx = np.full((G, 2, m_pad), n_pad - 1, np.int32)
+        emask = np.zeros((G, m_pad), bool)
+        qs = np.zeros((G, question_emb.shape[1]), np.float32)
+        for g, s in enumerate(group):
+            e = s.edge_index.shape[1]
+            rows = s.node_embedding_ids
+            heads[g, :e] = ent_t[rows[s.edge_index[0]]]
+            tails[g, :e] = ent_t[rows[s.edge_index[1]]]
+            rels[g, :e] = rel_t[s.edge_relations]
+            topic[g, s.topic_locals, 0] = 1.0
+            non_topic = np.setdiff1d(np.arange(s.num_nodes), s.topic_locals)
+            topic[g, non_topic, 1] = 1.0
+            eidx[g, :, :e] = s.edge_index
+            emask[g, :e] = True
+            qs[g] = question_emb[s.question_id]
+        vals, ids = serve_group(
+            bundle, jnp.asarray(qs), jnp.asarray(heads), jnp.asarray(rels),
+            jnp.asarray(tails), jnp.asarray(topic), jnp.asarray(eidx),
+            jnp.asarray(emask),
+            k=min(k, m_pad), num_rounds=num_rounds,
+            num_reverse_rounds=num_reverse_rounds, dtype=dtype,
+        )
+        vals_np = np.asarray(vals)
+        ids_np = np.asarray(ids)
+        num_groups += 1
+        for g, (i, s) in enumerate(zip(idxs, group)):
+            keep = np.isfinite(vals_np[g])
+            results[i] = ServeResult(
+                sample_id=s.sample_id,
+                question_id=s.question_id,
+                edge_ids=ids_np[g][keep],
+                scores=vals_np[g][keep].astype(np.float32),
+            )
+    scoring_s = time.perf_counter() - t1
+    out = [r for r in results if r is not None]
+    stats = ServeStats(
+        num_questions=len(out),
+        index_build_s=round(index_build_s, 4),
+        scoring_s=round(scoring_s, 4),
+        queries_per_s=round(len(out) / scoring_s, 2) if scoring_s > 0 else 0.0,
+        num_groups=num_groups,
+    )
+    return out, stats
+
+
+def serve_recall_at_k(
+    samples: Sequence[RetrievalSample],
+    results: Iterable[ServeResult],
+    k_values: Sequence[int],
+) -> dict[str, float]:
+    """Triple recall@k of the served rankings against ``edge_labels`` (the
+    matched-recall half of the north star; reference metric semantics
+    ``src/metrics/retriever_metrics.py:83-166``)."""
+    by_id = {s.sample_id: s for s in samples}
+    totals = {k: 0.0 for k in k_values}
+    counted = 0
+    for r in results:
+        s = by_id[r.sample_id]
+        pos = np.nonzero(np.asarray(s.edge_labels) > 0.5)[0]
+        if pos.size == 0:
+            continue
+        counted += 1
+        for k in k_values:
+            hit = np.intersect1d(r.edge_ids[:k], pos).size
+            totals[k] += hit / pos.size
+    if counted == 0:
+        return {f"serve/recall@{k}": 0.0 for k in k_values}
+    return {f"serve/recall@{k}": round(totals[k] / counted, 6) for k in k_values}

@@ -60,6 +60,23 @@ def test_full_pipeline_synthetic(tmp_path):
     assert (pathlib.Path(art) / "eval_retriever" / "validation.manifest.json").exists()
     assert 0.0 <= m2["validation/edge/recall@10"] <= 1.0
 
+    # 2b. serve: index-and-query engine over the same split + ckpt
+    m2b, run2b = _run(
+        "serve",
+        ["experiment=quick_synthetic", f"retriever.ckpt={best}",
+         "serve.splits=[validation]", "serve.k=20", "serve.k_values=[1,10]"],
+        tmp_path,
+    )
+    assert m2b["validation/num_questions"] > 0
+    assert m2b["validation/queries_per_s"] > 0
+    assert 0.0 <= m2b["validation/serve/recall@10"] <= 1.0
+    serve_lines = [
+        json.loads(l)
+        for l in (run2b / "validation_serve.jsonl").read_text().splitlines()
+    ]
+    assert len(serve_lines) == m2b["validation/num_questions"]
+    assert all(len(r["triples"]) == len(r["scores"]) for r in serve_lines)
+
     # Materialize a train-split g_agent too (needed by the GFlowNet).
     _run(
         "eval_retriever",

@@ -74,3 +74,49 @@ def test_training_vs_serving_scores():
     )(bundle, q, index)
     want_ids = np.argsort(-train_logits[:ne], kind="stable")[:k]
     assert set(np.asarray(ids[0]).tolist()) == set(want_ids.tolist())
+
+
+def test_serve_split_matches_training_ranking():
+    """The full split-serving engine (pre-projected tables + on-device DDE
+    rebuild + batched per-question top-k) reproduces the training scorer's
+    ranking for every question of a synthetic split."""
+    from evi_rag_tpu.serving import serve_recall_at_k, serve_split
+
+    ds = make_synthetic_dataset(num_samples=12, emb_dim=EMB, max_nodes=14, seed=7)
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    bucket = Bucket(graphs=2, nodes=64, edges=256)
+    batch0 = collate_retriever(
+        ds.samples[:1], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    params = jax.jit(model.init)(jax.random.key(3), batch0)
+    bundle = export_retriever_features(params["params"], model.parity_meta())
+
+    results, stats = serve_split(
+        bundle, ds.samples,
+        entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, k=10, num_rounds=2, num_reverse_rounds=2,
+        group_size=4, dtype=jnp.float32,
+    )
+    assert stats.num_questions == len(ds.samples)
+    assert stats.queries_per_s > 0
+
+    apply = jax.jit(model.apply)
+    by_id = {r.sample_id: r for r in results}
+    for s in ds.samples:
+        b = collate_retriever(
+            [s], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+            question_emb=ds.question_emb, bucket=bucket,
+        )
+        logits = np.asarray(apply(params, b).logits)[: s.edge_index.shape[1]]
+        k = min(10, logits.shape[0])
+        want = np.argsort(-logits, kind="stable")[:k]
+        got = by_id[s.sample_id]
+        assert set(got.edge_ids[:k].tolist()) == set(want.tolist()), s.sample_id
+        np.testing.assert_allclose(
+            got.scores[:k], np.sort(logits)[::-1][:k], rtol=1e-4, atol=1e-5
+        )
+
+    rec = serve_recall_at_k(ds.samples, results, [1, 5, 10])
+    assert set(rec) == {"serve/recall@1", "serve/recall@5", "serve/recall@10"}
+    assert 0.0 <= rec["serve/recall@1"] <= rec["serve/recall@10"] <= 1.0
