@@ -93,7 +93,7 @@ def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5, engine: str
 
     if engine == "pallas_fused":
         def run():
-            return pallas_query_topk_fused(bundle_j, q, index, k=k, bq=8)
+            return pallas_query_topk_fused(bundle_j, q, index, k=k)
     elif engine == "pallas":
         def run():
             return pallas_query_topk(bundle_j, q, index, k=k, tile=256)
@@ -346,7 +346,7 @@ def main():
     dim, hidden = 1024, 1024
     struct_dim = 2 * 2 * (1 + 2 + 2)  # edge struct = concat(head, tail) topic features
     num_candidates = 131072
-    batch = 8
+    batch = 64  # serving batch; the fused kernel streams candidates once per 32
     k = 100
 
     bundle = make_bundle(dim, hidden, struct_dim)
@@ -367,7 +367,7 @@ def main():
     details = {
         "engine": engine,
         "query_throughput_qps": round(qps, 3),
-        "query_latency_ms_batch8": round(dt * 1e3, 2),
+        "query_latency_ms_batch64": round(dt * 1e3, 2),
         "cpu_reference_qps": round(cpu_qps, 4) if cpu_qps else None,
     }
     # Million-candidate fan-out point (VERDICT #2 target: >=2x the XLA path).

@@ -979,6 +979,13 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     group_size = int(sv.get("group_size", 16))
     dtype = jnp.bfloat16 if str(sv.get("compute_dtype", "bfloat16")) == "bfloat16" else jnp.float32
     k_grid = [int(v) for v in sv.get("k_values", DEFAULT_K_GRID) if int(v) <= k]
+    mesh = None
+    if bool(sv.get("data_parallel", False)):
+        import jax
+
+        from evi_rag_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(len(jax.devices()))
 
     first_samples, ent, rel, q = _load_split(cfg, splits[0])
     model = _retriever_model(cfg, inferred_dim=ent.shape[1])
@@ -1007,7 +1014,7 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             entity_emb=ent_s, relation_emb=rel_s, question_emb=q_emb,
             k=k, num_rounds=int(pm["dde_rounds"]),
             num_reverse_rounds=int(pm["dde_reverse_rounds"]),
-            group_size=group_size, dtype=dtype, projected=tables,
+            group_size=group_size, dtype=dtype, projected=tables, mesh=mesh,
         )
         out[f"{split}/num_questions"] = stats.num_questions
         out[f"{split}/queries_per_s"] = stats.queries_per_s

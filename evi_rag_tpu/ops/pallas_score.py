@@ -488,7 +488,7 @@ def pallas_query_topk_fused(
     index,               # ops.query.TripleIndex
     *,
     k: int,
-    bq: int = 8,
+    bq: int | None = None,
     tile: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
@@ -500,11 +500,20 @@ def pallas_query_topk_fused(
     only O(bq x k) values ever reach HBM.  Queries pad up to a multiple of
     ``bq``; one compiled program handles any B.
     """
+    B = q_emb.shape[0]
+    if bq is None:
+        # Larger bq amortizes the query-independent per-tile matmuls
+        # (measured on v5e @131k: bq=8 -> 81.6 q/s, 16 -> 169, 32 -> 186);
+        # cap at the query count rounded up to a power of two so small
+        # batches don't pay for padded queries.
+        bq = 8
+        while bq < min(B, 32):
+            bq *= 2
     if tile is None:
         # Measured on v5e: tile=1024 wins at ~100k candidates (fewer grid
-        # steps), tile=512 wins at 1M+ (pipelining hides the deeper sweep).
-        tile = 512 if index.num_candidates >= 512 * 1024 else 1024
-    B = q_emb.shape[0]
+        # steps), tile=512 wins at 1M+ (pipelining hides the deeper sweep)
+        # and at bq>=32 (more queries per resident tile).
+        tile = 512 if (index.num_candidates >= 512 * 1024 or bq >= 32) else 1024
     padb = (-B) % bq
     if padb:
         q_emb = jnp.pad(q_emb, ((0, padb), (0, 0)))

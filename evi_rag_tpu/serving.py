@@ -138,18 +138,32 @@ def serve_split(
     group_size: int = 16,
     dtype=jnp.bfloat16,
     projected: tuple[np.ndarray, np.ndarray] | None = None,
+    mesh=None,
 ) -> tuple[list[ServeResult], ServeStats]:
     """Serve every question of a split through the engine.
 
     Samples are sorted by edge count and grouped ``group_size`` at a time
     into pow-2 padded buckets; results are returned in the original order.
     ``projected`` lets callers reuse ``project_tables`` output across splits.
+    With ``mesh``, the question axis of every group is sharded over the mesh
+    (data-parallel serving: per-question scoring has no cross-question
+    communication, so DP is the natural multi-chip serving axis); groups pad
+    up to a multiple of the device count with empty questions.
     """
     t0 = time.perf_counter()
     if projected is None:
         projected = project_tables(bundle, entity_emb, relation_emb)
     ent_t, rel_t = projected
     index_build_s = time.perf_counter() - t0
+
+    put = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh.devices.size
+        group_size = -(-group_size // n_dev) * n_dev
+        batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
+        put = lambda x: jax.device_put(jnp.asarray(x), batch_sh)
 
     order = sorted(range(len(samples)), key=lambda i: samples[i].edge_index.shape[1])
     results: list[ServeResult | None] = [None] * len(samples)
@@ -162,6 +176,9 @@ def serve_split(
         m_pad = max(m_pad, _pow2_at_least(k))
         n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
         G = len(group)
+        if mesh is not None:
+            n_dev = mesh.devices.size
+            G = -(-G // n_dev) * n_dev  # pad with empty questions
         heads = np.zeros((G, m_pad, ent_t.shape[1]), np.float32)
         rels = np.zeros_like(heads)
         tails = np.zeros_like(heads)
@@ -182,9 +199,8 @@ def serve_split(
             emask[g, :e] = True
             qs[g] = question_emb[s.question_id]
         vals, ids = serve_group(
-            bundle, jnp.asarray(qs), jnp.asarray(heads), jnp.asarray(rels),
-            jnp.asarray(tails), jnp.asarray(topic), jnp.asarray(eidx),
-            jnp.asarray(emask),
+            bundle, put(qs), put(heads), put(rels),
+            put(tails), put(topic), put(eidx), put(emask),
             k=min(k, m_pad), num_rounds=num_rounds,
             num_reverse_rounds=num_reverse_rounds, dtype=dtype,
         )

@@ -120,3 +120,21 @@ def test_serve_split_matches_training_ranking():
     rec = serve_recall_at_k(ds.samples, results, [1, 5, 10])
     assert set(rec) == {"serve/recall@1", "serve/recall@5", "serve/recall@10"}
     assert 0.0 <= rec["serve/recall@1"] <= rec["serve/recall@10"] <= 1.0
+
+    # Data-parallel serving over the mesh returns identical rankings
+    # (per-question scoring has no cross-question communication).
+    if len(jax.devices()) >= 8:
+        from evi_rag_tpu.parallel.mesh import make_mesh
+
+        results_dp, stats_dp = serve_split(
+            bundle, ds.samples,
+            entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+            question_emb=ds.question_emb, k=10, num_rounds=2, num_reverse_rounds=2,
+            group_size=8, dtype=jnp.float32, mesh=make_mesh(8),
+        )
+        assert stats_dp.num_questions == len(ds.samples)
+        by_id_dp = {r.sample_id: r for r in results_dp}
+        for r in results:
+            np.testing.assert_array_equal(
+                by_id_dp[r.sample_id].edge_ids, r.edge_ids
+            )
