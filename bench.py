@@ -24,6 +24,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 import numpy as np
 
 
+def _progress(msg: str) -> None:
+    print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
 def build_inputs(num_candidates: int, dim: int, struct_dim: int, batch: int, seed: int = 0):
     rng = np.random.default_rng(seed)
     return {
@@ -33,6 +37,34 @@ def build_inputs(num_candidates: int, dim: int, struct_dim: int, batch: int, see
         "struct": rng.normal(size=(num_candidates, struct_dim)).astype(np.float32),
         "q": rng.normal(size=(batch, dim)).astype(np.float32),
     }
+
+
+def build_inputs_device(
+    num_candidates: int, dim: int, struct_dim: int, batch: int,
+    seed: int = 0, dtype=None,
+):
+    """Device-side candidate generation (jax.random): million-row indexes
+    never cross the host->device link, which is minutes-slow over the
+    remote-TPU tunnel for multi-GB arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    ks = jax.random.split(jax.random.key(seed), 5)
+
+    @jax.jit
+    def gen():
+        mk = lambda k, shape: (jax.random.normal(k, shape) * 0.1).astype(dtype)
+        return {
+            "head": mk(ks[0], (num_candidates, dim)),
+            "rel": mk(ks[1], (num_candidates, dim)),
+            "tail": mk(ks[2], (num_candidates, dim)),
+            "struct": jax.random.normal(ks[3], (num_candidates, struct_dim)).astype(dtype),
+        }
+
+    out = gen()
+    out["q"] = np.asarray(jax.random.normal(ks[4], (batch, dim), jnp.float32))
+    return out
 
 
 def make_bundle(dim: int, hidden: int, struct_dim: int, seed: int = 0):
@@ -117,8 +149,9 @@ def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5, engine: str
     return nq / dt, dt
 
 
-def bench_cpu_reference(bundle, inputs, *, reduced: int = 2048):
-    """Torch-CPU run of the same scorer on a reduced set, scaled linearly."""
+def bench_cpu_reference(bundle, inputs, *, reduced: int = 2048, scale_to: int | None = None):
+    """Torch-CPU run of the same scorer on a reduced set, scaled linearly
+    (to ``scale_to`` candidates, default the input candidate count)."""
     try:
         import torch
     except Exception:
@@ -162,15 +195,17 @@ def bench_cpu_reference(bundle, inputs, *, reduced: int = 2048):
 
     with torch.no_grad():
         score(q[0], h, r, t, s)  # warm
-        t0 = time.perf_counter()
-        fwd = score(q[0], h, r, t, s)
-        s_swap = torch.cat([s[:, s_dim:], s[:, :s_dim]], dim=-1)
-        bwd = score(q[0], t, r, h, s_swap)
-        st = torch.stack([fwd, bwd])
-        w = torch.softmax(st, dim=0)
-        _ = torch.topk((w * st).sum(0), k=min(100, reduced))
-        dt_reduced = time.perf_counter() - t0
-    full_m = inputs["head"].shape[0]
+        dt_reduced = float("inf")
+        for _rep in range(3):  # best-of-3: host CPU timing is noisy under load
+            t0 = time.perf_counter()
+            fwd = score(q[0], h, r, t, s)
+            s_swap = torch.cat([s[:, s_dim:], s[:, :s_dim]], dim=-1)
+            bwd = score(q[0], t, r, h, s_swap)
+            st = torch.stack([fwd, bwd])
+            w = torch.softmax(st, dim=0)
+            _ = torch.topk((w * st).sum(0), k=min(100, reduced))
+            dt_reduced = min(dt_reduced, time.perf_counter() - t0)
+    full_m = scale_to or inputs["head"].shape[0]
     dt_full = dt_reduced * (full_m / reduced)
     return 1.0 / dt_full  # queries/sec (single CPU)
 
@@ -184,24 +219,29 @@ def bench_index_build(dim: int = 1024, vocab: int = 262144, rels: int = 1024, m:
     from evi_rag_tpu.ops.query import build_triple_index
 
     bundle = jax.tree.map(jnp.asarray, make_bundle(dim, dim, 20, seed=3))
-    rng = np.random.default_rng(2)
-    ent = jnp.asarray(rng.normal(size=(vocab, dim)).astype(np.float32) * 0.1)
-    rel = jnp.asarray(rng.normal(size=(rels, dim)).astype(np.float32) * 0.1)
-    nontext = jnp.asarray(rng.random(vocab) < 0.05)
-    heads = jnp.asarray(rng.integers(0, vocab, m, dtype=np.int32))
-    rs = jnp.asarray(rng.integers(0, rels, m, dtype=np.int32))
-    tails = jnp.asarray(rng.integers(0, vocab, m, dtype=np.int32))
-    struct = jnp.asarray(rng.normal(size=(m, 20)).astype(np.float32))
+    # Device-side generation: the ~1 GB table never crosses the tunnel.
+    ks = jax.random.split(jax.random.key(2), 6)
+    ent = jax.random.normal(ks[0], (vocab, dim), jnp.float32) * 0.1
+    rel = jax.random.normal(ks[1], (rels, dim), jnp.float32) * 0.1
+    nontext = jax.random.uniform(ks[2], (vocab,)) < 0.05
+    heads = jax.random.randint(ks[3], (m,), 0, vocab, jnp.int32)
+    rs = jax.random.randint(ks[4], (m,), 0, rels, jnp.int32)
+    tails = jax.random.randint(ks[5], (m,), 0, vocab, jnp.int32)
+    struct = jax.random.normal(ks[0], (m, 20), jnp.float32)
 
+    # Arrays go in as ARGUMENTS: a jitted closure over device arrays treats
+    # them as constants, and constant canonicalization fetches them to host
+    # (hours over the remote-TPU tunnel for a 13 GB working set).
     build = jax.jit(
-        lambda: build_triple_index(
-            bundle, entity_emb=ent, relation_emb=rel, nontext_mask=nontext,
-            heads=heads, rels=rs, tails=tails, struct_raw=struct,
+        lambda e, r, n, h, rr, t, s: build_triple_index(
+            bundle, entity_emb=e, relation_emb=r, nontext_mask=n,
+            heads=h, rels=rr, tails=t, struct_raw=s,
         )
     )
-    np.asarray(build().head_repr[0])  # compile + warm
+    args = (ent, rel, nontext, heads, rs, tails, struct)
+    np.asarray(build(*args).head_repr[0])  # compile + warm
     t0 = time.perf_counter()
-    np.asarray(build().head_repr[0])
+    np.asarray(build(*args).head_repr[0])
     return (time.perf_counter() - t0) * 1e3  # ms
 
 
@@ -212,9 +252,9 @@ def bench_knn(dim: int = 1024, table_rows: int = 262144, batch: int = 64, k: int
 
     from evi_rag_tpu.ops.knn import knn_topk
 
-    rng = np.random.default_rng(1)
-    table = jnp.asarray(rng.normal(size=(table_rows, dim)).astype(np.float32))
-    q = jnp.asarray(rng.normal(size=(batch, dim)).astype(np.float32))
+    k1, k2 = jax.random.split(jax.random.key(1))
+    table = jax.random.normal(k1, (table_rows, dim), jnp.float32)  # device-side gen
+    q = jax.random.normal(k2, (batch, dim), jnp.float32)
 
     def run():
         return knn_topk(q, table, k=k, chunk=8192, metric="cosine")
@@ -350,18 +390,27 @@ def main():
     k = 100
 
     bundle = make_bundle(dim, hidden, struct_dim)
-    inputs = build_inputs(num_candidates, dim, struct_dim, batch)
+    # Candidates are generated on device (the multi-GB host->device copy is
+    # minutes-to-hours slow over the remote-TPU tunnel); the torch-CPU
+    # reference times its own small host-side arrays -- identical scorer and
+    # distribution, content irrelevant to timing.
+    _progress("gen 131k inputs on device")
+    inputs = build_inputs_device(num_candidates, dim, struct_dim, batch)
 
     # Headline: the fused batched top-k Pallas kernel; fall back to the
     # per-query kernel, then the pure-XLA streaming path.
     qps = dt = None
     for engine in ("pallas_fused", "pallas", "xla"):
         try:
+            _progress(f"headline engine={engine}")
             qps, dt = bench_tpu(bundle, inputs, k=k, chunk=4096, engine=engine)
             break
         except Exception as exc:
             print(json.dumps({f"{engine}_fallback": str(exc)[:400]}), file=sys.stderr)
-    cpu_qps = bench_cpu_reference(bundle, inputs)
+    del inputs  # free the 131k index before the large-HBM phases
+    cpu_inputs = build_inputs(2048, dim, struct_dim, batch)
+    _progress("torch cpu reference")
+    cpu_qps = bench_cpu_reference(bundle, cpu_inputs, scale_to=num_candidates)
     vs = qps / cpu_qps if cpu_qps else float("nan")
 
     details = {
@@ -370,15 +419,28 @@ def main():
         "query_latency_ms_batch64": round(dt * 1e3, 2),
         "cpu_reference_qps": round(cpu_qps, 4) if cpu_qps else None,
     }
+    # Index build: project + gather 1M candidate triples from a 262k-entity
+    # table (BASELINE.json names "index build time" alongside query qps).
+    # Runs BEFORE the 1M query section: the f32 gather peaks at ~13 GB HBM
+    # and must not coexist with the 6 GB bf16 query index.
+    try:
+        _progress("index build")
+        details["index_build_1m_candidates_ms"] = round(bench_index_build(), 1)
+    except Exception as exc:
+        details["index_build_error"] = str(exc)[:300]
     # Million-candidate fan-out point (VERDICT #2 target: >=2x the XLA path).
     try:
-        inputs_1m = build_inputs(1_048_576, dim, struct_dim, batch)
         import jax.numpy as _jnp
 
+        _progress("gen 1M inputs on device")
+        inputs_1m = build_inputs_device(1_048_576, dim, struct_dim, batch, dtype=_jnp.bfloat16)
+
+        _progress("1M fused")
         qps_1m, _ = bench_tpu(
             bundle, inputs_1m, k=k, chunk=4096, engine="pallas_fused", iters=3,
             index_dtype=_jnp.bfloat16,
         )
+        _progress("1M xla")
         xla_1m, _ = bench_tpu(
             bundle, inputs_1m, k=k, chunk=4096, engine="xla", iters=3,
             index_dtype=_jnp.bfloat16,
@@ -389,21 +451,18 @@ def main():
         del inputs_1m
     except Exception as exc:
         details["bench_1m_error"] = str(exc)[:300]
-    # Index build: project + gather 1M candidate triples from a 262k-entity
-    # table (BASELINE.json names "index build time" alongside query qps).
     try:
-        details["index_build_1m_candidates_ms"] = round(bench_index_build(), 1)
-    except Exception as exc:
-        details["index_build_error"] = str(exc)[:300]
-    try:
+        _progress("knn")
         details["knn_qps_262k_rows_d1024"] = round(bench_knn(), 2)
     except Exception as exc:  # secondary benchmarks must not break the headline
         details["knn_error"] = str(exc)
     try:
+        _progress("train step")
         details["train_step_graphs_per_sec"] = round(bench_train_step(), 2)
     except Exception as exc:
         details["train_error"] = str(exc)
     try:
+        _progress("gflownet step")
         details["gflownet_step_graphs_per_sec"] = round(bench_gflownet_step(), 2)
     except Exception as exc:
         details["gfn_error"] = str(exc)
