@@ -103,7 +103,7 @@ def bench_tpu(bundle, inputs, *, k: int, chunk: int, iters: int = 5, engine: str
     """Time the query path.
 
     engine: "pallas_fused" (batched in-kernel top-k; candidates stream once
-    per 8 queries) | "pallas" (one launch per query) | "xla".
+    per auto-bq queries) | "pallas" (one launch per query) | "xla".
     """
     import jax
     import jax.numpy as jnp
