@@ -13,7 +13,14 @@ from evi_rag_tpu.ops.segment import (
 )
 from evi_rag_tpu.ops.graph import GraphBatch
 from evi_rag_tpu.ops.knn import knn_topk, knn_topk_sharded
-from evi_rag_tpu.ops.query import TripleIndex, build_triple_index, query_topk, query_topk_sharded
+from evi_rag_tpu.ops.query import (
+    TripleIndex,
+    build_triple_index,
+    query_topk,
+    query_topk_per_question,
+    query_topk_sharded,
+    query_topk_sharded_fused,
+)
 
 __all__ = [
     "NEG_INF",
@@ -23,7 +30,9 @@ __all__ = [
     "knn_topk",
     "knn_topk_sharded",
     "query_topk",
+    "query_topk_per_question",
     "query_topk_sharded",
+    "query_topk_sharded_fused",
     "segment_argmax",
     "segment_count",
     "segment_logsumexp",
