@@ -40,7 +40,11 @@ def test_prep_weights_fold_is_exact(setup):
     z = jnp.asarray(rng.normal(size=(64, H)).astype(np.float32))
     ref = dense(feats["score_head"], dense(feats["state_net_1"], z))[:, 0]
     got = z @ w["w2s"][:, 0] + w["b2s"][0]
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), rtol=1e-5, atol=1e-5)
+    # On TPU, default-precision f32 matmuls run as bf16 passes on the MXU;
+    # the two association orders then differ at ~1e-3 relative.
+    on_tpu = jax.default_backend() != "cpu"
+    tol = dict(rtol=5e-3, atol=5e-3) if on_tpu else dict(rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), **tol)
 
 
 def test_kernel_matches_xla_scores(setup):
