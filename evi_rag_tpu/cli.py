@@ -929,18 +929,28 @@ def _question_lookup(cfg: dict) -> dict[str, tuple[str, list[str] | None]]:
 
 @task_wrapper
 def task_sweep(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
-    """Hyperparameter search over train_retriever (reference Optuna sweeps)."""
+    """Hyperparameter search over a training task (reference Optuna sweeps,
+    ``hparams_search/{retriever,gflownet}_optuna.yaml``): ``sweep.task``
+    selects train_retriever (default) or train_gflownet."""
     from evi_rag_tpu.train.sweep import run_sweep
 
     sw = cfg.get("sweep", {})
     space = sw.get("space")
     if not space:
         raise ConfigError("sweep.space is required")
+    task_name = str(sw.get("task", "train_retriever"))
+    objectives = {
+        "train_retriever": task_train_retriever,
+        "train_gflownet": task_train_gflownet,
+    }
+    if task_name not in objectives:
+        raise ConfigError(f"sweep.task must be one of {sorted(objectives)}; got {task_name!r}")
+    task_fn = objectives[task_name]
 
     def objective(trial_cfg: dict) -> dict[str, float]:
         trial_dir = run_dir / f"trial_{len(list(run_dir.glob('trial_*')))}"
         trial_dir.mkdir(parents=True, exist_ok=True)
-        return task_train_retriever.__wrapped__(trial_cfg, run_dir=trial_dir)
+        return task_fn.__wrapped__(trial_cfg, run_dir=trial_dir)
 
     result = run_sweep(
         cfg,

@@ -101,3 +101,32 @@ def test_tpe_int_uniform_and_failure_tolerance():
     )
     assert sum(t["status"] == "error" for t in res["trials"]) == 1
     assert res["best"]["overrides"]["b.n"] in range(1, 17)
+
+
+def test_task_sweep_dispatch(tmp_path):
+    """sweep.task selects the training objective (reference sweeps both
+    retriever and GFlowNet, hparams_search/*.yaml); invalid tasks fail
+    loudly, and the gflownet objective inherits its ckpt guard."""
+    import pytest as _pytest
+
+    from evi_rag_tpu import cli
+    from evi_rag_tpu.utils.config import ConfigError
+
+    base = {
+        "dataset": {"source": "synthetic", "num_samples": 4, "emb_dim": 8, "max_nodes": 6},
+        "sweep": {
+            "task": "nope",
+            "space": {"retriever.train.optimizer.learning_rate":
+                      {"dist": "choice", "values": [1e-3]}},
+            "num_trials": 1,
+        },
+    }
+    with _pytest.raises(ConfigError, match="sweep.task"):
+        cli.task_sweep.__wrapped__(base, run_dir=tmp_path / "a")
+
+    # gflownet dispatch reaches train_gflownet's own retriever.ckpt guard,
+    # which the failure-tolerant sweep records as an errored trial.
+    base["sweep"]["task"] = "train_gflownet"
+    base["sweep"]["monitor"] = "best_score"
+    res = cli.task_sweep.__wrapped__(base, run_dir=tmp_path / "b")
+    assert res["num_trials"] == 1 and res["best_score"] is None
