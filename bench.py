@@ -220,14 +220,14 @@ def bench_index_build(dim: int = 1024, vocab: int = 262144, rels: int = 1024, m:
 
     bundle = jax.tree.map(jnp.asarray, make_bundle(dim, dim, 20, seed=3))
     # Device-side generation: the ~1 GB table never crosses the tunnel.
-    ks = jax.random.split(jax.random.key(2), 6)
+    ks = jax.random.split(jax.random.key(2), 7)
     ent = jax.random.normal(ks[0], (vocab, dim), jnp.float32) * 0.1
     rel = jax.random.normal(ks[1], (rels, dim), jnp.float32) * 0.1
     nontext = jax.random.uniform(ks[2], (vocab,)) < 0.05
     heads = jax.random.randint(ks[3], (m,), 0, vocab, jnp.int32)
     rs = jax.random.randint(ks[4], (m,), 0, rels, jnp.int32)
     tails = jax.random.randint(ks[5], (m,), 0, vocab, jnp.int32)
-    struct = jax.random.normal(ks[0], (m, 20), jnp.float32)
+    struct = jax.random.normal(ks[6], (m, 20), jnp.float32)
 
     # Arrays go in as ARGUMENTS: a jitted closure over device arrays treats
     # them as constants, and constant canonicalization fetches them to host
@@ -386,7 +386,7 @@ def main():
     dim, hidden = 1024, 1024
     struct_dim = 2 * 2 * (1 + 2 + 2)  # edge struct = concat(head, tail) topic features
     num_candidates = 131072
-    batch = 64  # serving batch; the fused kernel streams candidates once per 32
+    batch = 64  # serving batch; auto-bq streams candidates once per 64 queries
     k = 100
 
     bundle = make_bundle(dim, hidden, struct_dim)

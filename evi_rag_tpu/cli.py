@@ -1019,12 +1019,20 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         )
         if not samples:
             continue
+        # Reuse the projected tables only when this split shares the first
+        # split's embedding tables: normalized datasets load one table file
+        # for all splits; synthetic splits regenerate per split.
+        shares_tables = (
+            cfg.get("dataset", {}).get("source") == "normalized"
+            or (ent_s is ent and rel_s is rel)
+        )
+        split_tables = tables if shares_tables else None
         results, stats = serve_split(
             bundle, samples,
             entity_emb=ent_s, relation_emb=rel_s, question_emb=q_emb,
             k=k, num_rounds=int(pm["dde_rounds"]),
             num_reverse_rounds=int(pm["dde_reverse_rounds"]),
-            group_size=group_size, dtype=dtype, projected=tables, mesh=mesh,
+            group_size=group_size, dtype=dtype, projected=split_tables, mesh=mesh,
         )
         out[f"{split}/num_questions"] = stats.num_questions
         out[f"{split}/queries_per_s"] = stats.queries_per_s

@@ -346,7 +346,7 @@ def query_topk_sharded_fused(
     *,
     mesh,
     k: int,
-    bq: int = 8,
+    bq: int | None = None,
     tile: int | None = None,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:

@@ -175,7 +175,9 @@ def serve_split(
         n_dev = mesh.devices.size
         group_size = -(-group_size // n_dev) * n_dev
         batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-        put = lambda x: jax.device_put(jnp.asarray(x), batch_sh)
+        # device_put straight from host numpy: jnp.asarray first would
+        # commit to device 0 and pay a second device-to-device scatter.
+        put = lambda x: jax.device_put(np.asarray(x), batch_sh)
         repl = NamedSharding(mesh, P())
         put_table = lambda x: jax.device_put(jnp.asarray(x), repl)
     ent_t_dev = put_table(np.ascontiguousarray(ent_t))
@@ -220,7 +222,8 @@ def serve_split(
             bundle, put(qs), ent_t_dev, rel_t_dev,
             put(head_rows), put(rel_ids), put(tail_rows),
             put(topic), put(eidx), put(emask),
-            k=min(k, m_pad), num_rounds=num_rounds,
+            k=k,  # m_pad >= _pow2_at_least(k) by construction above
+            num_rounds=num_rounds,
             num_reverse_rounds=num_reverse_rounds, dtype=dtype,
         )
         vals_np = np.asarray(vals)

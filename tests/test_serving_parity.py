@@ -138,3 +138,37 @@ def test_serve_split_matches_training_ranking():
             np.testing.assert_array_equal(
                 by_id_dp[r.sample_id].edge_ids, r.edge_ids
             )
+
+
+def test_serve_task_reprojects_per_split(tmp_path):
+    """Synthetic splits regenerate their embedding tables per split, so the
+    serve task must re-project rather than reuse the first split's tables
+    (regression: reuse produced silently wrong rankings)."""
+    from evi_rag_tpu import cli
+    from evi_rag_tpu.train.checkpoint import save_checkpoint
+
+    ds0 = make_synthetic_dataset(num_samples=4, emb_dim=EMB, max_nodes=10, seed=0)
+    bucket = Bucket(graphs=2, nodes=32, edges=128)
+    b0 = collate_retriever(
+        ds0.samples[:1], entity_emb=ds0.entity_emb, relation_emb=ds0.relation_emb,
+        question_emb=ds0.question_emb, bucket=bucket,
+    )
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    params = jax.jit(model.init)(jax.random.key(0), b0)
+    save_checkpoint(tmp_path / "ckpt", params, meta={"parity_meta": model.parity_meta()})
+
+    def run(splits):
+        cfg = {
+            "dataset": {"source": "synthetic", "num_samples": 4, "emb_dim": EMB, "max_nodes": 10},
+            "retriever": {"ckpt": str(tmp_path / "ckpt"),
+                          "model": {"emb_dim": EMB, "hidden_dim": EMB, "dropout_p": 0.0}},
+            "serve": {"splits": splits, "k": 10, "k_values": [5],
+                      "write_jsonl": False, "compute_dtype": "float32"},
+        }
+        d = tmp_path / ("run_" + "_".join(splits))
+        d.mkdir(exist_ok=True)
+        return cli.task_serve.__wrapped__(cfg, run_dir=d)
+
+    multi = run(["validation", "test"])
+    solo = run(["test"])
+    assert multi["test/serve/recall@5"] == solo["test/serve/recall@5"]
