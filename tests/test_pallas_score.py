@@ -47,6 +47,22 @@ def test_prep_weights_fold_is_exact(setup):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), **tol)
 
 
+def test_fused_auto_bq_matches_explicit(setup):
+    """The auto bq/tile selection path (bq=None) returns the same top-k as
+    an explicit configuration (B pads up to the auto bq)."""
+    from evi_rag_tpu.ops.pallas_score import pallas_query_topk_fused
+
+    bundle, index, q = setup
+    v_auto, i_auto = pallas_query_topk_fused(
+        bundle, q[:3], index, k=8, interpret=True
+    )
+    v_exp, i_exp = pallas_query_topk_fused(
+        bundle, q[:3], index, k=8, bq=4, tile=128, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(v_auto), np.asarray(v_exp), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_auto), np.asarray(i_exp))
+
+
 def test_kernel_matches_xla_scores(setup):
     bundle, index, q = setup
     ref = np.asarray(score_all(bundle, q[:1], index, dtype=jnp.bfloat16)[0])
