@@ -1069,6 +1069,12 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                         "scores": [round(float(v), 5) for v in r.scores.tolist()],
                         "triples": triples,
                     }) + "\n")
+            from evi_rag_tpu.eval.artifacts import write_manifest
+
+            write_manifest(
+                run_dir, artifact="serve_topk", filename=path.name, split=split,
+                extra={"k": k, "num_questions": stats.num_questions},
+            )
             out[f"{split}/serve_jsonl"] = str(path)
     save_metrics_json(run_dir / "metrics.json", out)
     return out
