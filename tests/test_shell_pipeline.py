@@ -109,3 +109,25 @@ def test_run_full_pipeline_script(tmp_path):
     assert metrics_files, "no metrics.json produced"
     last = json.loads(metrics_files[-1].read_text())
     assert last, "empty metrics"
+
+
+def test_mask_ablation_script_single_point(tmp_path):
+    """The shipped ablation driver runs the hide-and-seek grid as-is; a
+    1x1 env-driven grid on synthetic data is the smoke path."""
+    env = dict(os.environ)
+    env.update(
+        PYTHONPATH=str(REPO), JAX_PLATFORMS="cpu",
+        ABLATION_P_NEAR="0.3", ABLATION_BIAS_NEAR="-2.0",
+    )
+    work = tmp_path / "work"
+    work.mkdir()
+    shutil.copytree(REPO / "configs", work / "configs")
+    proc = subprocess.run(
+        ["bash", str(REPO / "scripts" / "run_retriever_mask_ablation.sh"),
+         "synthetic", "experiment=quick_synthetic", "extras.print_config=false",
+         f"paths.log_dir={work}/logs", f"retriever.train.ckpt_dir={work}/ckpt"],
+        cwd=work, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}"
+    assert "ablation p_near=0.3 bias_near=-2.0" in proc.stdout
+    assert (work / "ckpt" / "best" / "meta.json").exists()
