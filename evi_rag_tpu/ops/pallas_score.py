@@ -504,10 +504,10 @@ def pallas_query_topk_fused(
     if bq is None:
         # Larger bq amortizes the query-independent per-tile matmuls
         # (measured on v5e @131k: bq=8 -> 81.6 q/s, 16 -> 169, 32 -> 186,
-        # 64 -> 194); cap at the query count rounded up to a power of two
-        # so small batches don't pay for padded queries.
+        # 64 -> 194, 128 -> 199); cap at the query count rounded up to a
+        # power of two so small batches don't pay for padded queries.
         bq = 8
-        while bq < min(B, 64):
+        while bq < min(B, 128):
             bq *= 2
     if tile is None:
         # Measured on v5e: tile=1024 wins at ~100k candidates (fewer grid
