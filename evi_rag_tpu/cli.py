@@ -1037,7 +1037,14 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         out[f"{split}/num_questions"] = stats.num_questions
         out[f"{split}/queries_per_s"] = stats.queries_per_s
         out[f"{split}/scoring_s"] = stats.scoring_s
-        out[f"{split}/index_build_s"] = proj_s
+        # Shared-table splits reuse the up-front projection (proj_s);
+        # re-projecting splits report their own measured build time.
+        out[f"{split}/index_build_s"] = (
+            proj_s if split_tables is not None else stats.index_build_s
+        )
+        out[f"{split}/pack_s"] = stats.pack_s
+        out[f"{split}/dispatch_s"] = stats.dispatch_s
+        out[f"{split}/drain_s"] = stats.drain_s
         out.update({f"{split}/{m}": v for m, v in
                     serve_recall_at_k(samples, results, k_grid).items()})
 

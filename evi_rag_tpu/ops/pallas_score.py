@@ -290,7 +290,13 @@ def _fused_topk_kernel(
     @pl.when((i == 0) & (q == 0))
     def _init():
         vals_ref[:] = jnp.full(vals_ref.shape, neg, f32)  # [BQ, 1, K2]
-        idx_ref[:] = jnp.zeros(idx_ref.shape, jnp.int32)
+        # Distinct large sentinel indices: the rank-merge's strict order
+        # (score desc, index asc) must be total or tied sentinel entries
+        # collide in rank and leave buffer slots empty (0.0).  Sentinels sit
+        # above any real candidate id (caller asserts m < 2^24 - K2; ids are
+        # carried through an exact-f32 one-hot sum, so < 2^24).
+        big = jnp.int32(2**24 - k2)
+        idx_ref[:] = big + jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 2)
 
     h = h_ref[:]
     r = r_ref[:]
@@ -408,6 +414,8 @@ def _topk_fused_chunk(
     s = struct_raw.shape[1]
     m = head_repr.shape[0]
     k2 = max(128, -(-k // 128) * 128)  # lane-aligned top buffer
+    if m >= 2**24 - k2:
+        raise ValueError(f"candidate ids must stay below 2^24-{k2} (got {m})")
     if m % tile != 0:
         pad = tile - m % tile
         padf = lambda x: jnp.pad(x, ((0, pad), (0, 0)))
@@ -480,6 +488,201 @@ def _topk_fused_chunk(
     top_vals, pos = jax.lax.top_k(vals, k)
     top_idx = jnp.take_along_axis(idx, pos, axis=1)
     return top_vals, top_idx
+
+
+def _per_question_topk_kernel(
+    h_ref, r_ref, t_ref, s_head_ref, s_tail_ref, mask_ref, gate_ref, bias_ref,
+    w1i_ref, w1s_ref, w1e_ref, w1d_ref, b1_ref, ln1s_ref, ln1b_ref,
+    w2s_ref, b2s_ref,
+    wst_ref, wsb_ref, bs_ref, lnss_ref, lnsb_ref, wg_ref, wgb_ref,
+    vals_ref, idx_ref,
+    *, tile: int, k2: int,
+):
+    """Per-question serving kernel: question g streams its own candidate
+    tiles (grid = (G, M/T), tile index minor) and keeps an exact top-K2
+    buffer resident in the output block across the sweep.  Unlike
+    ``_fused_topk_kernel`` there is no cross-query tile sharing (each
+    question owns its candidates), so the win over the XLA path is the fused
+    epilogues + folded head + in-kernel selection (no [G, M] score
+    materialization)."""
+    f32 = jnp.float32
+    i = pl.program_id(1)
+    neg = jnp.asarray(jnp.finfo(f32).min, f32)
+
+    @pl.when(i == 0)
+    def _init():
+        vals_ref[:] = jnp.full(vals_ref.shape, neg, f32)  # [1, K2]
+        # Distinct large sentinels: see ``_fused_topk_kernel._init``.
+        big = jnp.int32(2**24 - k2)
+        idx_ref[:] = big + jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
+
+    h = h_ref[0]
+    r = r_ref[0]
+    t = t_ref[0]
+    gate = gate_ref[0]   # [1, D]
+    bias = bias_ref[0]
+    r_ctx = r * gate + bias
+
+    sh = s_head_ref[0]
+    st = s_tail_ref[0]
+    proj_f = (
+        jnp.dot(sh, wst_ref[:], preferred_element_type=f32)
+        + jnp.dot(st, wsb_ref[:], preferred_element_type=f32)
+        + bs_ref[:]
+    )
+    proj_b = (
+        jnp.dot(sh, wsb_ref[:], preferred_element_type=f32)
+        + jnp.dot(st, wst_ref[:], preferred_element_type=f32)
+        + bs_ref[:]
+    )
+
+    def direction(head, tail, sc_raw):
+        sc = jax.nn.gelu(_ln(sc_raw, lnss_ref[:], lnsb_ref[:]))
+        nav = jax.nn.sigmoid(
+            jnp.dot(sc.astype(f32), wg_ref[:], preferred_element_type=f32) + wgb_ref[:]
+        )
+        sc16 = sc.astype(h.dtype)
+        inter = head * r_ctx * tail * nav.astype(h.dtype)
+        err = head + r_ctx - tail
+        err32 = err.astype(f32)
+        dist = -jnp.sqrt(jnp.sum(err32 * err32, axis=-1, keepdims=True) + 1e-12)
+        z = (
+            jnp.dot(inter, w1i_ref[:], preferred_element_type=f32)
+            + jnp.dot(sc16, w1s_ref[:], preferred_element_type=f32)
+            + jnp.dot(err, w1e_ref[:], preferred_element_type=f32)
+            + dist * w1d_ref[:]
+            + b1_ref[:]
+        )
+        z = jax.nn.gelu(_ln(z, ln1s_ref[:], ln1b_ref[:]))
+        return jnp.dot(z, w2s_ref[:], preferred_element_type=f32)[:, 0] + b2s_ref[0]
+
+    fwd = direction(h, t, proj_f)
+    bwd = direction(t, h, proj_b)
+    mx = jnp.maximum(fwd, bwd)
+    ef = jnp.exp(fwd - mx)
+    eb = jnp.exp(bwd - mx)
+    scores = (ef * fwd + eb * bwd) / (ef + eb)  # [T]
+
+    # Mask invalid (padding) candidates and merge into the resident buffer
+    # (same exact vectorized rank-merge as ``_fused_topk_kernel``).
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
+    ok = mask_ref[0][None, :] != 0
+    scores = jnp.where(ok, scores[None, :], neg)  # [1, T]
+    gidx = i * tile + lane
+
+    comb_v = jnp.concatenate([scores, vals_ref[:]], axis=1)      # [1, N]
+    comb_i = jnp.concatenate([gidx, idx_ref[:]], axis=1)
+    va = comb_v.T
+    ia = comb_i.T
+    better = (va > comb_v) | ((va == comb_v) & (ia < comb_i))
+    rank = jnp.sum(better.astype(jnp.int32), axis=0, keepdims=True)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (k2, 1), 0)
+    onehot = (rank == slot).astype(jnp.float32)
+    vals_ref[:] = jnp.sum(onehot * comb_v, axis=1)[None, :]
+    idx_ref[:] = jnp.sum(onehot * comb_i.astype(jnp.float32), axis=1).astype(jnp.int32)[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
+def pallas_per_question_topk(
+    bundle: dict[str, Any],
+    q_emb: jax.Array,        # [G, D] raw question embeddings
+    head_repr: jax.Array,    # [G, M, D] per-question candidate rows (padded)
+    rel_repr: jax.Array,     # [G, M, D]
+    tail_repr: jax.Array,    # [G, M, D]
+    struct_raw: jax.Array,   # [G, M, S]
+    edge_valid: jax.Array,   # [G, M] bool (False on padding)
+    *,
+    k: int,
+    tile: int = 512,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-kernel twin of :func:`ops.query.query_topk_per_question`.
+
+    Each question scores only its own candidate set; scores match the XLA
+    path (``Retriever.apply`` logits) to bf16 tolerance and the selection is
+    exact.  Used by the serving engine for large per-question buckets where
+    score materialization + separate ``top_k`` makes the XLA path lose.
+    Returns ([G, k] scores, [G, k] local candidate ids, -inf/-padding beyond
+    a question's true edge count).
+    """
+    from evi_rag_tpu.ops.nnfn import dense as _dense, projector as _projector
+
+    feats = bundle["features"]
+    w = _prep_weights(feats)
+    d = head_repr.shape[2]
+    s = struct_raw.shape[2]
+    g_n, m = head_repr.shape[0], head_repr.shape[1]
+    k2 = max(128, -(-k // 128) * 128)
+    if m >= 2**24 - k2:
+        raise ValueError(f"candidate ids must stay below 2^24-{k2} (got {m})")
+    tile = min(tile, m)
+    if m % tile != 0:
+        pad = tile - m % tile
+        padf = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        head_repr, rel_repr, tail_repr, struct_raw = map(
+            padf, (head_repr, rel_repr, tail_repr, struct_raw)
+        )
+        edge_valid = jnp.pad(edge_valid, ((0, 0), (0, pad)))
+    mp = head_repr.shape[1]
+
+    qp = _projector(feats["query_proj"], q_emb)
+    gate = jax.nn.sigmoid(_dense(feats["q_gate"], qp)).astype(jnp.bfloat16)  # [G, D]
+    bias = jnp.tanh(_dense(feats["q_bias"], qp)).astype(jnp.bfloat16)
+
+    bf16 = jnp.bfloat16
+    grid = (g_n, mp // tile)  # tile index minor: per-question streaming sweep
+    cand = lambda c: pl.BlockSpec((1, tile, c), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM)
+    perq = lambda c: pl.BlockSpec((1, 1, c), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM)
+    full = lambda a, b: pl.BlockSpec((a, b), lambda g, i: (0, 0), memory_space=pltpu.VMEM)
+    vec = lambda c: pl.BlockSpec((c,), lambda g, i: (0,), memory_space=pltpu.VMEM)
+
+    hh = s // 2
+    hdim = w["w2s"].shape[0]
+    kern = functools.partial(_per_question_topk_kernel, tile=tile, k2=k2)
+    vals, idx = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            cand(d), cand(d), cand(d),
+            cand(hh), cand(hh),
+            pl.BlockSpec((1, tile), lambda g, i: (g, i), memory_space=pltpu.VMEM),
+            perq(d), perq(d),
+            full(d, hdim), full(d, hdim), full(d, hdim),
+            full(1, hdim), vec(hdim), vec(hdim), vec(hdim),
+            full(hdim, 1), vec(1),
+            full(hh, d), full(hh, d), vec(d), vec(d), vec(d),
+            full(d, 1), vec(1),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, k2), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k2), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g_n, k2), jnp.float32),
+            jax.ShapeDtypeStruct((g_n, k2), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        head_repr.astype(bf16), rel_repr.astype(bf16), tail_repr.astype(bf16),
+        struct_raw[:, :, :hh].astype(bf16), struct_raw[:, :, hh:].astype(bf16),
+        edge_valid.astype(jnp.int32),
+        gate[:, None, :], bias[:, None, :],
+        w["w1_inter"], w["w1_struct"], w["w1_err"],
+        w["w1_dist"], w["b1"], w["ln1_scale"], w["ln1_bias"],
+        w["w2s"], w["b2s"],
+        w["ws_top"], w["ws_bot"], w["bs"], w["lns_scale"], w["lns_bias"],
+        w["wg_kernel"], w["wg_bias"],
+    )
+    # Buffer is rank-ordered by construction; cut to k.  Unfilled slots
+    # (questions with fewer than k valid candidates) carry the kernel's
+    # finfo.min sentinel -- surface them as -inf like the XLA path so
+    # callers can mask with isfinite.
+    vals = vals[:, :k]
+    vals = jnp.where(vals <= jnp.finfo(jnp.float32).min, -jnp.inf, vals)
+    return vals, idx[:, :k]
 
 
 def pallas_query_topk_fused(

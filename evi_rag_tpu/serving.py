@@ -112,6 +112,49 @@ def serve_group(
     )
 
 
+@partial(jax.jit, static_argnames=("k", "num_rounds", "num_reverse_rounds", "interpret"))
+def serve_group_fused(
+    bundle: dict[str, Any],
+    q_emb: jax.Array,
+    ent_table: jax.Array,
+    rel_table: jax.Array,
+    head_rows: jax.Array,
+    rel_ids: jax.Array,
+    tail_rows: jax.Array,
+    topic_one_hot: jax.Array,
+    edge_index: jax.Array,
+    edge_mask: jax.Array,
+    *,
+    k: int,
+    num_rounds: int,
+    num_reverse_rounds: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused-kernel serving step for large per-question buckets: same row
+    gather + DDE rebuild as :func:`serve_group`, but scoring + selection run
+    in the streaming Pallas kernel (``ops.pallas_score.
+    pallas_per_question_topk``) -- no [G, M] score materialization, top-k in
+    VMEM.  Exactness vs the XLA path is covered by tests."""
+    from evi_rag_tpu.ops.pallas_score import pallas_per_question_topk
+
+    head_repr = ent_table[head_rows]
+    rel_repr = rel_table[rel_ids]
+    tail_repr = ent_table[tail_rows]
+
+    def struct_of(t, ei, em):
+        ns = build_node_struct_features(
+            t, ei, num_rounds=num_rounds,
+            num_reverse_rounds=num_reverse_rounds, edge_mask=em,
+        )
+        return jnp.concatenate([ns[ei[0]], ns[ei[1]]], axis=-1)
+
+    struct_raw = jax.vmap(struct_of)(topic_one_hot, edge_index, edge_mask)
+    return pallas_per_question_topk(
+        bundle, q_emb, head_repr, rel_repr, tail_repr, struct_raw, edge_mask,
+        k=k, interpret=interpret,
+    )
+
+
 @dataclasses.dataclass
 class ServeResult:
     sample_id: str
@@ -127,6 +170,13 @@ class ServeStats:
     scoring_s: float
     queries_per_s: float
     num_groups: int
+    # Phase breakdown (VERDICT r2 #1c): host packing time, dispatch-loop wall
+    # (pack + H2D enqueue + async kernel dispatch) and drain wall (blocking
+    # D2H of the [G, k] results after the device ran ahead).  pack_s is a
+    # subset of dispatch_s; compute overlaps both.
+    pack_s: float = 0.0
+    dispatch_s: float = 0.0
+    drain_s: float = 0.0
 
 
 def _pow2_at_least(n: int, lo: int = 8) -> int:
@@ -150,6 +200,8 @@ def serve_split(
     dtype=jnp.bfloat16,
     projected: tuple[np.ndarray, np.ndarray] | None = None,
     mesh=None,
+    fused_threshold: int = 16384,
+    fused_interpret: bool | None = None,
 ) -> tuple[list[ServeResult], ServeStats]:
     """Serve every question of a split through the engine.
 
@@ -187,11 +239,34 @@ def serve_split(
 
     order = sorted(range(len(samples)), key=lambda i: samples[i].edge_index.shape[1])
     results: list[ServeResult | None] = [None] * len(samples)
+
+    def drain(entry) -> None:
+        idxs, group, vals, ids = entry
+        vals_np = np.asarray(vals)  # blocks until the device result lands
+        ids_np = np.asarray(ids)
+        for g, (i, s) in enumerate(zip(idxs, group)):
+            keep = np.isfinite(vals_np[g])
+            results[i] = ServeResult(
+                sample_id=s.sample_id,
+                question_id=s.question_id,
+                edge_ids=ids_np[g][keep],
+                scores=vals_np[g][keep].astype(np.float32),
+            )
+
+    # Pipelined serving loop (VERDICT r2 #1a): dispatch is asynchronous --
+    # packing group N+1 on the host overlaps H2D + compute of group N, and
+    # the blocking D2H reads happen only in the drain phase after the device
+    # queue ran ahead.  ``max_in_flight`` bounds queued group inputs so a
+    # huge split cannot pile unbounded int32 id tensors onto the device.
     t1 = time.perf_counter()
     num_groups = 0
+    pack_s = 0.0
+    pending: list[tuple] = []
+    max_in_flight = 32
     for g0 in range(0, len(order), group_size):
         idxs = order[g0 : g0 + group_size]
         group = [samples[i] for i in idxs]
+        tp = time.perf_counter()
         m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
         m_pad = max(m_pad, _pow2_at_least(k))
         n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
@@ -218,25 +293,44 @@ def serve_split(
             eidx[g, :, :e] = s.edge_index
             emask[g, :e] = True
             qs[g] = question_emb[s.question_id]
-        vals, ids = serve_group(
-            bundle, put(qs), ent_t_dev, rel_t_dev,
-            put(head_rows), put(rel_ids), put(tail_rows),
-            put(topic), put(eidx), put(emask),
-            k=k,  # m_pad >= _pow2_at_least(k) by construction above
-            num_rounds=num_rounds,
-            num_reverse_rounds=num_reverse_rounds, dtype=dtype,
-        )
-        vals_np = np.asarray(vals)
-        ids_np = np.asarray(ids)
-        num_groups += 1
-        for g, (i, s) in enumerate(zip(idxs, group)):
-            keep = np.isfinite(vals_np[g])
-            results[i] = ServeResult(
-                sample_id=s.sample_id,
-                question_id=s.question_id,
-                edge_ids=ids_np[g][keep],
-                scores=vals_np[g][keep].astype(np.float32),
+        pack_s += time.perf_counter() - tp
+        # Large buckets route through the streaming Pallas kernel (score
+        # materialization + separate top_k makes the XLA path lose there);
+        # the DP-sharded path keeps the XLA scorer (shard_map + Pallas
+        # composition is exercised by query_topk_sharded_fused instead).
+        use_fused = m_pad >= fused_threshold and mesh is None
+        if use_fused:
+            interp = (
+                fused_interpret if fused_interpret is not None
+                else jax.default_backend() == "cpu"
             )
+            vals, ids = serve_group_fused(
+                bundle, put(qs), ent_t_dev, rel_t_dev,
+                put(head_rows), put(rel_ids), put(tail_rows),
+                put(topic), put(eidx), put(emask),
+                k=k, num_rounds=num_rounds,
+                num_reverse_rounds=num_reverse_rounds, interpret=interp,
+            )
+        else:
+            vals, ids = serve_group(
+                bundle, put(qs), ent_t_dev, rel_t_dev,
+                put(head_rows), put(rel_ids), put(tail_rows),
+                put(topic), put(eidx), put(emask),
+                k=k,  # m_pad >= _pow2_at_least(k) by construction above
+                num_rounds=num_rounds,
+                num_reverse_rounds=num_reverse_rounds, dtype=dtype,
+            )
+        num_groups += 1
+        pending.append((idxs, group, vals, ids))
+        if len(pending) >= max_in_flight:
+            drain(pending.pop(0))
+    dispatch_s = time.perf_counter() - t1
+
+    t2 = time.perf_counter()
+    for entry in pending:
+        drain(entry)
+    drain_s = time.perf_counter() - t2
+
     scoring_s = time.perf_counter() - t1
     out = [r for r in results if r is not None]
     stats = ServeStats(
@@ -245,6 +339,9 @@ def serve_split(
         scoring_s=round(scoring_s, 4),
         queries_per_s=round(len(out) / scoring_s, 2) if scoring_s > 0 else 0.0,
         num_groups=num_groups,
+        pack_s=round(pack_s, 4),
+        dispatch_s=round(dispatch_s, 4),
+        drain_s=round(drain_s, 4),
     )
     return out, stats
 
@@ -253,10 +350,18 @@ def serve_recall_at_k(
     samples: Sequence[RetrievalSample],
     results: Iterable[ServeResult],
     k_values: Sequence[int],
+    *,
+    require_positive: bool = False,
 ) -> dict[str, float]:
     """Triple recall@k of the served rankings against ``edge_labels`` (the
-    matched-recall half of the north star; reference metric semantics
-    ``src/metrics/retriever_metrics.py:83-166``)."""
+    matched-recall half of the north star).
+
+    Reference semantics (``src/metrics/retriever_metrics.py:140-158`` and
+    this repo's ``edge_recall_at_k``): zero-positive questions count as
+    recall 0 in the denominator, so serve/recall@k is directly comparable
+    to eval_retriever's edge/recall@k on splits with unanswerable questions.
+    ``require_positive=True`` restores the drop-from-denominator variant.
+    """
     by_id = {s.sample_id: s for s in samples}
     totals = {k: 0.0 for k in k_values}
     counted = 0
@@ -264,6 +369,8 @@ def serve_recall_at_k(
         s = by_id[r.sample_id]
         pos = np.nonzero(np.asarray(s.edge_labels) > 0.5)[0]
         if pos.size == 0:
+            if not require_positive:
+                counted += 1  # recall 0 for every k, reference protocol
             continue
         counted += 1
         for k in k_values:

@@ -160,3 +160,66 @@ def test_fused_topk_nonmultiple_candidates(setup):
     v, i = pallas_query_topk_fused(bundle, q, sub, k=16, bq=2, tile=256, interpret=INTERPRET)
     assert int(np.asarray(i).max()) < 777
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_per_question_kernel_matches_xla_path(setup):
+    """The per-question streaming kernel returns the same candidate sets and
+    scores (to bf16 tolerance) as ``query_topk_per_question`` -- the serving
+    routing contract for large buckets."""
+    from evi_rag_tpu.ops.pallas_score import pallas_per_question_topk
+    from evi_rag_tpu.ops.query import query_topk_per_question
+
+    bundle, index, q = setup
+    G, M = q.shape[0], index.num_candidates
+    rng = np.random.default_rng(7)
+    # Per-question candidate tensors: shuffle the pooled index per question
+    # and give each question a different valid length (padding semantics).
+    perm = np.stack([rng.permutation(M) for _ in range(G)])
+    take = lambda a: jnp.asarray(np.asarray(a)[perm])   # [G, M, ...]
+    h, r, t, s = map(take, (index.head_repr, index.rel_repr,
+                            index.tail_repr, index.struct_raw))
+    valid_len = [M, M - 300]
+    mask = np.zeros((G, M), bool)
+    for g, n in enumerate(valid_len):
+        mask[g, :n] = True
+    mask = jnp.asarray(mask)
+
+    K = 20
+    v_ref, i_ref = query_topk_per_question(
+        bundle, q, h, r, t, s, mask, k=K, dtype=jnp.bfloat16
+    )
+    v_got, i_got = pallas_per_question_topk(
+        bundle, q, h, r, t, s, mask, k=K, tile=256, interpret=INTERPRET
+    )
+    assert v_got.shape == (G, K) and i_got.dtype == np.int32
+    for g in range(G):
+        ref = {int(i): float(v) for i, v in zip(np.asarray(i_ref[g]), np.asarray(v_ref[g]))}
+        got = {int(i): float(v) for i, v in zip(np.asarray(i_got[g]), np.asarray(v_got[g]))}
+        common = set(ref) & set(got)
+        assert len(common) >= K - 2, (g, set(ref) ^ set(got))
+        for i in common:
+            assert abs(ref[i] - got[i]) < 0.01 + 0.01 * abs(ref[i]), (g, i)
+        # No masked (padding) candidate ever surfaces.
+        assert max(got) < valid_len[g]
+    assert (np.diff(np.asarray(v_got), axis=1) <= 1e-6).all()
+
+
+def test_per_question_kernel_fewer_candidates_than_k():
+    """Questions with fewer valid edges than k pad the tail with -inf."""
+    from bench import build_inputs, make_bundle
+    from evi_rag_tpu.ops.pallas_score import pallas_per_question_topk
+
+    bundle = jax.tree.map(jnp.asarray, make_bundle(D, H, S, seed=3))
+    ins = build_inputs(64, D, S, batch=1, seed=3)
+    to_g = lambda a: jnp.asarray(a)[None]
+    mask = np.zeros((1, 64), bool)
+    mask[0, :5] = True
+    v, i = pallas_per_question_topk(
+        bundle, jnp.asarray(ins["q"]), to_g(ins["head"]), to_g(ins["rel"]),
+        to_g(ins["tail"]), to_g(ins["struct"]), jnp.asarray(mask),
+        k=16, tile=32, interpret=INTERPRET,
+    )
+    v = np.asarray(v)
+    assert np.isfinite(v[0, :5]).all()
+    assert np.isneginf(v[0, 5:]).all()
+    assert int(np.asarray(i)[0, :5].max()) < 5

@@ -140,6 +140,66 @@ def test_serve_split_matches_training_ranking():
             )
 
 
+def test_serve_split_fused_routing_matches_xla():
+    """Forcing the fused per-question kernel route (fused_threshold=1)
+    returns the same rankings as the XLA path for every question."""
+    from evi_rag_tpu.serving import serve_split
+
+    ds = make_synthetic_dataset(num_samples=6, emb_dim=EMB, max_nodes=14, seed=19)
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    bucket = Bucket(graphs=2, nodes=64, edges=256)
+    b0 = collate_retriever(
+        ds.samples[:1], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    params = jax.jit(model.init)(jax.random.key(2), b0)
+    bundle = export_retriever_features(params["params"], model.parity_meta())
+
+    kw = dict(
+        entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, k=10, num_rounds=2, num_reverse_rounds=2,
+        group_size=3,
+    )
+    res_xla, _ = serve_split(bundle, ds.samples, dtype=jnp.bfloat16, **kw)
+    res_fused, stats = serve_split(
+        bundle, ds.samples, fused_threshold=1, fused_interpret=_ON_TPU is False,
+        **kw,
+    )
+    by_id = {r.sample_id: r for r in res_fused}
+    for r in res_xla:
+        got = by_id[r.sample_id]
+        # bf16 jitter can swap near-ties at the boundary; sets must overlap
+        # on all but the tail and scores agree on the intersection.
+        common = set(r.edge_ids.tolist()) & set(got.edge_ids.tolist())
+        assert len(common) >= len(r.edge_ids) - 1, r.sample_id
+        ref_s = dict(zip(r.edge_ids.tolist(), r.scores.tolist()))
+        got_s = dict(zip(got.edge_ids.tolist(), got.scores.tolist()))
+        for e in common:
+            assert abs(ref_s[e] - got_s[e]) < 0.01 + 0.01 * abs(ref_s[e])
+
+
+def test_serve_recall_counts_zero_positive_questions():
+    """Zero-positive questions must count as recall 0 in the denominator
+    (reference EdgeRecallAtK semantics, ``retriever_metrics.py:140-158``) so
+    serve/recall@k stays comparable to eval_retriever's edge/recall@k."""
+    from evi_rag_tpu.serving import ServeResult, serve_recall_at_k
+
+    ds = make_synthetic_dataset(num_samples=2, emb_dim=8, max_nodes=10, seed=5)
+    s_pos, s_zero = ds.samples
+    s_zero.edge_labels[:] = 0.0  # unanswerable: no positive edges
+    pos = np.nonzero(s_pos.edge_labels > 0.5)[0]
+    results = [
+        ServeResult(s_pos.sample_id, s_pos.question_id,
+                    edge_ids=pos, scores=np.ones(pos.size, np.float32)),
+        ServeResult(s_zero.sample_id, s_zero.question_id,
+                    edge_ids=np.arange(3), scores=np.ones(3, np.float32)),
+    ]
+    rec = serve_recall_at_k(ds.samples, results, [100])
+    assert rec["serve/recall@100"] == 0.5  # perfect + zero-positive -> mean 0.5
+    rec_rp = serve_recall_at_k(ds.samples, results, [100], require_positive=True)
+    assert rec_rp["serve/recall@100"] == 1.0
+
+
 def test_serve_task_reprojects_per_split(tmp_path):
     """Synthetic splits regenerate their embedding tables per split, so the
     serve task must re-project rather than reuse the first split's tables
