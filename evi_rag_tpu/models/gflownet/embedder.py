@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from evi_rag_tpu.models.batches import AgentBatch
 from evi_rag_tpu.models.dde import build_node_struct_features
 from evi_rag_tpu.ops.nnfn import dense as _dense, layernorm as _layernorm, projector as _projector
+from evi_rag_tpu.ops.nnfn import gelu_exact as _gelu_exact
 
 
 @jax.tree_util.register_dataclass
@@ -54,13 +55,13 @@ def _geometry_features(
     r_ctx = relation_edge * jax.nn.sigmoid(_dense(feats["q_gate"], q_edge)) + jnp.tanh(
         _dense(feats["q_bias"], q_edge)
     )
-    struct_ctx = jax.nn.gelu(_layernorm(feats["struct_norm"], _dense(feats["struct_proj"], struct_edge)))
+    struct_ctx = _gelu_exact(_layernorm(feats["struct_norm"], _dense(feats["struct_proj"], struct_edge)))
     nav_gate = jax.nn.sigmoid(_dense(feats["struct_gate"], struct_ctx))
     interaction = head_edge * r_ctx * tail_edge * nav_gate
     error_vec = head_edge + r_ctx - tail_edge
     dist = -jnp.sqrt(jnp.sum(error_vec * error_vec, axis=-1, keepdims=True) + 1e-12)
     combined = jnp.concatenate([interaction, struct_ctx, error_vec, dist], axis=-1)
-    h = jax.nn.gelu(_layernorm(feats["state_norm"], _dense(feats["state_net_0"], combined)))
+    h = _gelu_exact(_layernorm(feats["state_norm"], _dense(feats["state_net_0"], combined)))
     return _dense(feats["state_net_1"], h)
 
 
@@ -92,7 +93,7 @@ def _adapter_features(
         + struct_edge @ w[4 * h :]
         + adapter["dense_0"]["bias"]
     )
-    z = jax.nn.gelu(_layernorm(adapter["norm"], z))
+    z = _gelu_exact(_layernorm(adapter["norm"], z))
     return _dense(adapter["dense_1"], z)
 
 

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from evi_rag_tpu.ops.segment import NEG_INF, segment_softmax, segment_sum
+from evi_rag_tpu.ops.nnfn import gelu_exact as _gelu_exact
 
 
 class GFlowNetEdgePolicy(nn.Module):
@@ -34,18 +35,18 @@ class GFlowNetEdgePolicy(nn.Module):
 
     def setup(self) -> None:
         h = self.hidden_dim
-        self.state_norm = nn.LayerNorm(name="state_norm")
-        self.edge_base_norm = nn.LayerNorm(name="edge_base_norm")
+        self.state_norm = nn.LayerNorm(name="state_norm", epsilon=1e-5)
+        self.edge_base_norm = nn.LayerNorm(name="edge_base_norm", epsilon=1e-5)
         self.edge_base_dense = nn.Dense(h, name="edge_base_dense")
         self.edge_dropout = nn.Dropout(self.dropout)
         self.attn_q = nn.Dense(h, use_bias=False, name="attn_q")
         self.attn_k = nn.Dense(h, use_bias=False, name="attn_k")
         self.attn_v = nn.Dense(h, use_bias=False, name="attn_v")
-        self.edge_head_norm = nn.LayerNorm(name="edge_head_norm")
+        self.edge_head_norm = nn.LayerNorm(name="edge_head_norm", epsilon=1e-5)
         self.edge_head_0 = nn.Dense(h, name="edge_head_0")
         self.edge_head_drop = nn.Dropout(self.dropout)
         self.edge_head_1 = nn.Dense(1, name="edge_head_1", kernel_init=nn.initializers.zeros)
-        self.stop_head_norm = nn.LayerNorm(name="stop_head_norm")
+        self.stop_head_norm = nn.LayerNorm(name="stop_head_norm", epsilon=1e-5)
         self.stop_head_0 = nn.Dense(h, name="stop_head_0")
         self.stop_head_1 = nn.Dense(1, name="stop_head_1", kernel_init=nn.initializers.zeros)
 
@@ -53,7 +54,7 @@ class GFlowNetEdgePolicy(nn.Module):
         """Step-invariant edge projection, hoisted out of the rollout loop
         (the reference precomputes it once per rollout, ``gflownet_policy.py:
         88-91`` + ``gflownet_actor.py:110-112``)."""
-        return nn.gelu(self.edge_base_dense(self.edge_base_norm(edge_tokens)))
+        return _gelu_exact(self.edge_base_dense(self.edge_base_norm(edge_tokens)))
 
     def __call__(
         self,
@@ -80,11 +81,11 @@ class GFlowNetEdgePolicy(nn.Module):
         state_out = self.state_norm(state_tokens + context)
 
         edge_in = jnp.concatenate([state_out[edge_batch], edge_repr], axis=-1)
-        h = nn.gelu(self.edge_head_0(self.edge_head_norm(edge_in)))
+        h = _gelu_exact(self.edge_head_0(self.edge_head_norm(edge_in)))
         h = self.edge_head_drop(h, deterministic=not train)
         edge_logits = self.edge_head_1(h)[..., 0]
         edge_logits = jnp.where(valid_edges_mask, edge_logits, NEG_INF)
 
-        s = nn.gelu(self.stop_head_0(self.stop_head_norm(state_out)))
+        s = _gelu_exact(self.stop_head_0(self.stop_head_norm(state_out)))
         stop_logits = self.stop_head_1(s)[..., 0]
         return edge_logits, stop_logits, state_out

@@ -23,6 +23,7 @@ from evi_rag_tpu.models.batches import AgentBatch
 from evi_rag_tpu.models.dde import build_node_struct_features
 from evi_rag_tpu.models.gflownet.env import EnvState
 from evi_rag_tpu.ops.segment import segment_mean
+from evi_rag_tpu.ops.nnfn import gelu_exact as _gelu_exact
 
 
 @jax.tree_util.register_dataclass
@@ -48,7 +49,7 @@ class StateEncoder(nn.Module):
             embedding_init=nn.initializers.zeros,
             name="step_embeddings",
         )
-        self.norm = nn.LayerNorm(name="norm")
+        self.norm = nn.LayerNorm(name="norm", epsilon=1e-5)
         if self.use_state_dde:
             struct_dim = self.state_dde_num_topics * (
                 1 + self.state_dde_rounds + self.state_dde_reverse_rounds
@@ -113,7 +114,7 @@ class GFlowNetEstimator(nn.Module):
                 state_emb.shape,
             )
         ctx = jnp.concatenate([state_emb, question_tokens], axis=-1)
-        h = nn.LayerNorm(name="ctx_norm")(ctx)
-        h = nn.gelu(nn.Dense(self.hidden_dim, name="dense_0")(h))
+        h = nn.LayerNorm(name="ctx_norm", epsilon=1e-5)(ctx)
+        h = _gelu_exact(nn.Dense(self.hidden_dim, name="dense_0")(h))
         out = nn.Dense(1, name="dense_1", kernel_init=nn.initializers.zeros)(h)
         return out[..., 0]

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from evi_rag_tpu.ops.nnfn import gelu_exact as _gelu_exact
 from evi_rag_tpu.models.batches import RetrieverBatch
 from evi_rag_tpu.models.dde import build_node_struct_features
 
@@ -113,10 +114,10 @@ class Retriever(nn.Module):
         self.q_gate = nn.Dense(d, name="q_gate", dtype=cdtype)
         self.q_bias = nn.Dense(d, name="q_bias", dtype=cdtype)
         self.struct_proj = nn.Dense(d, name="struct_proj", dtype=cdtype)
-        self.struct_norm = nn.LayerNorm(name="struct_norm", dtype=cdtype)
+        self.struct_norm = nn.LayerNorm(name="struct_norm", dtype=cdtype, epsilon=1e-5)
         self.struct_gate = nn.Dense(1, name="struct_gate", dtype=cdtype)
         self.state_net_0 = nn.Dense(h, name="state_net_0", dtype=cdtype)
-        self.state_norm = nn.LayerNorm(name="state_norm", dtype=cdtype)
+        self.state_norm = nn.LayerNorm(name="state_norm", dtype=cdtype, epsilon=1e-5)
         self.state_net_1 = nn.Dense(h, name="state_net_1", dtype=cdtype)
         self.score_head = nn.Dense(1, name="score_head")
         self.dropout = nn.Dropout(self.dropout_p)
@@ -160,7 +161,7 @@ class Retriever(nn.Module):
 
         def score(h_r: jax.Array, t_r: jax.Array, struct_raw: jax.Array):
             """One directional pass (retriever.py:453-484)."""
-            struct_ctx = nn.gelu(self.struct_norm(self.struct_proj(struct_raw)))
+            struct_ctx = _gelu_exact(self.struct_norm(self.struct_proj(struct_raw)))
             nav_gate = jax.nn.sigmoid(self.struct_gate(struct_ctx))
             interaction = h_r * r_ctx * t_r * nav_gate
             error_vec = h_r + r_ctx - t_r
@@ -168,7 +169,7 @@ class Retriever(nn.Module):
             dist = -jnp.sqrt(jnp.sum(err32 * err32, axis=-1, keepdims=True) + 1e-12)
             dist = dist.astype(error_vec.dtype)
             combined = jnp.concatenate([interaction, struct_ctx, error_vec, dist], axis=-1)
-            feats = nn.gelu(self.state_norm(self.state_net_0(combined)))
+            feats = _gelu_exact(self.state_norm(self.state_net_0(combined)))
             feats = self.dropout(feats, deterministic=not train)
             feats = self.state_net_1(feats)
             logits = self.score_head(feats)[..., 0].astype(jnp.float32)

@@ -17,12 +17,21 @@ def dense(p: Any, x: jax.Array) -> jax.Array:
     return x @ p["kernel"] + p["bias"]
 
 
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """Exact (erf) GELU -- the reference uses ``nn.GELU()`` (erf form,
+    e.g. ``src/models/components/retriever.py:163,178``); jax's default is
+    the tanh approximation, which differs by ~1e-3 and would break strict
+    differential parity with the reference math."""
+    return jax.nn.gelu(x, approximate=False)
+
+
 def projector(p: Any, x: jax.Array) -> jax.Array:
     """EmbeddingProjector: Linear + tanh (models/retriever.py)."""
     return jnp.tanh(dense(p["proj"], x))
 
 
-def layernorm(p: Any, x: jax.Array, eps: float = 1e-6) -> jax.Array:
+def layernorm(p: Any, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    # eps matches torch nn.LayerNorm (the reference layer, default 1e-5).
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]

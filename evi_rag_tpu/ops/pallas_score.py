@@ -81,7 +81,32 @@ def _prep_weights(feats: dict[str, Any], dtype=jnp.bfloat16) -> dict[str, jax.Ar
     }
 
 
-def _ln(x, scale, bias, eps=1e-6):
+def _erf_poly(x):
+    """erf via the Abramowitz--Stegun 7.1.26 polynomial (|err| <= 1.5e-7).
+
+    Mosaic TPU lowering implements neither ``erf`` nor ``erfc``, so the
+    exact-GELU path cannot call ``jax.nn.gelu(approximate=False)`` inside a
+    kernel; this polynomial keeps the kernel within f32 noise of the exact
+    XLA epilogue (the tanh-approximate form deviates ~1e-3)."""
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
+    )
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
+    return s * y
+
+
+def _gelu(x):
+    # Exact (erf-form) GELU to match the reference nn.GELU() (see
+    # ops/nnfn.py); erf evaluated by polynomial -- Mosaic has no erf.
+    x32 = x.astype(jnp.float32)
+    return (0.5 * x32 * (1.0 + _erf_poly(x32 * 0.7071067811865476))).astype(x.dtype)
+
+
+def _ln(x, scale, bias, eps=1e-5):
     mean = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
     return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
@@ -118,7 +143,7 @@ def _score_kernel(
     )
 
     def direction(head, tail, sc_raw):
-        sc = jax.nn.gelu(_ln(sc_raw, lnss_ref[:], lnsb_ref[:]))
+        sc = _gelu(_ln(sc_raw, lnss_ref[:], lnsb_ref[:]))
         nav = jax.nn.sigmoid(jnp.dot(sc.astype(f32), wg_ref[:], preferred_element_type=f32) + wgb_ref[:])
         sc16 = sc.astype(h.dtype)
         inter = head * r_ctx * tail * nav.astype(h.dtype)
@@ -132,7 +157,7 @@ def _score_kernel(
             + dist * w1d_ref[:]
             + b1_ref[:]
         )
-        z = jax.nn.gelu(_ln(z, ln1s_ref[:], ln1b_ref[:]))
+        z = _gelu(_ln(z, ln1s_ref[:], ln1b_ref[:]))
         return jnp.dot(z, w2s_ref[:], preferred_element_type=f32)[:, 0] + b2s_ref[0]
 
     fwd = direction(h, t, proj_f)
@@ -318,7 +343,7 @@ def _fused_topk_kernel(
                 + jnp.dot(b, wsb_ref[:], preferred_element_type=f32)
                 + bs_ref[:]
             )
-            sc = jax.nn.gelu(_ln(raw, lnss_ref[:], lnsb_ref[:]))
+            sc = _gelu(_ln(raw, lnss_ref[:], lnsb_ref[:]))
             nav = jax.nn.sigmoid(
                 jnp.dot(sc.astype(f32), wg_ref[:], preferred_element_type=f32)
                 + wgb_ref[:]
@@ -355,7 +380,7 @@ def _fused_topk_kernel(
     dist_b = -jnp.sqrt(jnp.sum(eb32 * eb32, axis=-1, keepdims=True) + 1e-12)
 
     def head_of(z1):
-        z = jax.nn.gelu(_ln(z1, ln1s_ref[:], ln1b_ref[:]))
+        z = _gelu(_ln(z1, ln1s_ref[:], ln1b_ref[:]))
         return jnp.dot(z, w2s_ref[:], preferred_element_type=f32)[:, 0] + b2s_ref[0]
 
     fwd = head_of(navf_ref[:] * zi + zsf_ref[:] + (zr + zh) + dist_f * w1d_ref[:] + b1_ref[:])
@@ -491,7 +516,8 @@ def _topk_fused_chunk(
 
 
 def _per_question_topk_kernel(
-    h_ref, r_ref, t_ref, s_head_ref, s_tail_ref, mask_ref, gate_ref, bias_ref,
+    len_ref,  # [G] SMEM scalar-prefetch: per-question valid-candidate count
+    h_ref, r_ref, t_ref, s_head_ref, s_tail_ref, gate_ref, bias_ref,
     w1i_ref, w1s_ref, w1e_ref, w1d_ref, b1_ref, ln1s_ref, ln1b_ref,
     w2s_ref, b2s_ref,
     wst_ref, wsb_ref, bs_ref, lnss_ref, lnsb_ref, wg_ref, wgb_ref,
@@ -537,7 +563,7 @@ def _per_question_topk_kernel(
     )
 
     def direction(head, tail, sc_raw):
-        sc = jax.nn.gelu(_ln(sc_raw, lnss_ref[:], lnsb_ref[:]))
+        sc = _gelu(_ln(sc_raw, lnss_ref[:], lnsb_ref[:]))
         nav = jax.nn.sigmoid(
             jnp.dot(sc.astype(f32), wg_ref[:], preferred_element_type=f32) + wgb_ref[:]
         )
@@ -553,7 +579,7 @@ def _per_question_topk_kernel(
             + dist * w1d_ref[:]
             + b1_ref[:]
         )
-        z = jax.nn.gelu(_ln(z, ln1s_ref[:], ln1b_ref[:]))
+        z = _gelu(_ln(z, ln1s_ref[:], ln1b_ref[:]))
         return jnp.dot(z, w2s_ref[:], preferred_element_type=f32)[:, 0] + b2s_ref[0]
 
     fwd = direction(h, t, proj_f)
@@ -563,12 +589,14 @@ def _per_question_topk_kernel(
     eb = jnp.exp(bwd - mx)
     scores = (ef * fwd + eb * bwd) / (ef + eb)  # [T]
 
-    # Mask invalid (padding) candidates and merge into the resident buffer
-    # (same exact vectorized rank-merge as ``_fused_topk_kernel``).
+    # Mask invalid (padding) candidates -- validity is a per-question PREFIX
+    # (first n_g entries; an SMEM scalar, since Mosaic rejects 2-D mask
+    # blocks with a length-1 sublane dim) -- and merge into the resident
+    # buffer (same exact vectorized rank-merge as ``_fused_topk_kernel``).
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-    ok = mask_ref[0][None, :] != 0
-    scores = jnp.where(ok, scores[None, :], neg)  # [1, T]
     gidx = i * tile + lane
+    ok = gidx < len_ref[pl.program_id(0)]
+    scores = jnp.where(ok, scores[None, :], neg)  # [1, T]
 
     comb_v = jnp.concatenate([scores, vals_ref[:]], axis=1)      # [1, N]
     comb_i = jnp.concatenate([gidx, idx_ref[:]], axis=1)
@@ -590,7 +618,10 @@ def pallas_per_question_topk(
     rel_repr: jax.Array,     # [G, M, D]
     tail_repr: jax.Array,    # [G, M, D]
     struct_raw: jax.Array,   # [G, M, S]
-    edge_valid: jax.Array,   # [G, M] bool (False on padding)
+    edge_valid: jax.Array,   # [G, M] bool PREFIX mask (True for the first
+                             # n_g entries; arbitrary hole patterns are NOT
+                             # supported -- the kernel receives per-question
+                             # lengths, not the mask)
     *,
     k: int,
     tile: int = 512,
@@ -616,14 +647,22 @@ def pallas_per_question_topk(
     if m >= 2**24 - k2:
         raise ValueError(f"candidate ids must stay below 2^24-{k2} (got {m})")
     tile = min(tile, m)
+    if not interpret:
+        # Mosaic lane alignment: candidate blocks want a 128-multiple (or
+        # whole-axis) minor tile; round up and let padding absorb it.
+        # Interpret mode (CPU tests) accepts any size.
+        tile = max(128, -(-tile // 128) * 128)
     if m % tile != 0:
         pad = tile - m % tile
         padf = lambda x: jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
         head_repr, rel_repr, tail_repr, struct_raw = map(
             padf, (head_repr, rel_repr, tail_repr, struct_raw)
         )
-        edge_valid = jnp.pad(edge_valid, ((0, 0), (0, pad)))
     mp = head_repr.shape[1]
+    # Prefix-mask contract: validity crosses into the kernel as per-question
+    # lengths via SMEM scalar prefetch (Mosaic rejects length-1-sublane 2-D
+    # blocks in both VMEM and SMEM).
+    lengths = jnp.sum(edge_valid.astype(jnp.int32), axis=1)
 
     qp = _projector(feats["query_proj"], q_emb)
     gate = jax.nn.sigmoid(_dense(feats["q_gate"], qp)).astype(jnp.bfloat16)  # [G, D]
@@ -631,32 +670,34 @@ def pallas_per_question_topk(
 
     bf16 = jnp.bfloat16
     grid = (g_n, mp // tile)  # tile index minor: per-question streaming sweep
-    cand = lambda c: pl.BlockSpec((1, tile, c), lambda g, i: (g, i, 0), memory_space=pltpu.VMEM)
-    perq = lambda c: pl.BlockSpec((1, 1, c), lambda g, i: (g, 0, 0), memory_space=pltpu.VMEM)
-    full = lambda a, b: pl.BlockSpec((a, b), lambda g, i: (0, 0), memory_space=pltpu.VMEM)
-    vec = lambda c: pl.BlockSpec((c,), lambda g, i: (0,), memory_space=pltpu.VMEM)
+    cand = lambda c: pl.BlockSpec((1, tile, c), lambda g, i, *_: (g, i, 0), memory_space=pltpu.VMEM)
+    perq = lambda c: pl.BlockSpec((1, 1, c), lambda g, i, *_: (g, 0, 0), memory_space=pltpu.VMEM)
+    full = lambda a, b: pl.BlockSpec((a, b), lambda g, i, *_: (0, 0), memory_space=pltpu.VMEM)
+    vec = lambda c: pl.BlockSpec((c,), lambda g, i, *_: (0,), memory_space=pltpu.VMEM)
 
     hh = s // 2
     hdim = w["w2s"].shape[0]
     kern = functools.partial(_per_question_topk_kernel, tile=tile, k2=k2)
     vals, idx = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            cand(d), cand(d), cand(d),
-            cand(hh), cand(hh),
-            pl.BlockSpec((1, tile), lambda g, i: (g, i), memory_space=pltpu.VMEM),
-            perq(d), perq(d),
-            full(d, hdim), full(d, hdim), full(d, hdim),
-            full(1, hdim), vec(hdim), vec(hdim), vec(hdim),
-            full(hdim, 1), vec(1),
-            full(hh, d), full(hh, d), vec(d), vec(d), vec(d),
-            full(d, 1), vec(1),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, k2), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k2), lambda g, i: (g, 0), memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                cand(d), cand(d), cand(d),
+                cand(hh), cand(hh),
+                perq(d), perq(d),
+                full(d, hdim), full(d, hdim), full(d, hdim),
+                full(1, hdim), vec(hdim), vec(hdim), vec(hdim),
+                full(hdim, 1), vec(1),
+                full(hh, d), full(hh, d), vec(d), vec(d), vec(d),
+                full(d, 1), vec(1),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, k2), lambda g, i, *_: (g, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, k2), lambda g, i, *_: (g, 0), memory_space=pltpu.VMEM),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((g_n, k2), jnp.float32),
             jax.ShapeDtypeStruct((g_n, k2), jnp.int32),
@@ -666,9 +707,9 @@ def pallas_per_question_topk(
         ),
         interpret=interpret,
     )(
+        lengths,
         head_repr.astype(bf16), rel_repr.astype(bf16), tail_repr.astype(bf16),
         struct_raw[:, :, :hh].astype(bf16), struct_raw[:, :, hh:].astype(bf16),
-        edge_valid.astype(jnp.int32),
         gate[:, None, :], bias[:, None, :],
         w["w1_inter"], w["w1_struct"], w["w1_err"],
         w["w1_dist"], w["b1"], w["ln1_scale"], w["ln1_bias"],

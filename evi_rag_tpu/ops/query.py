@@ -34,7 +34,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from evi_rag_tpu.ops.nnfn import dense as _dense, layernorm as _layernorm, projector as _projector
+from evi_rag_tpu.ops.nnfn import dense as _dense, gelu_exact as _gelu_exact, layernorm as _layernorm, projector as _projector
 
 
 @jax.tree_util.register_dataclass
@@ -165,7 +165,7 @@ def _score_chunk(
     r = r.astype(dtype)
     t = t.astype(dtype)
     r_ctx = r * gate.astype(dtype)[None, :] + bias.astype(dtype)[None, :]
-    struct_ctx = jax.nn.gelu(
+    struct_ctx = _gelu_exact(
         _layernorm(feats["struct_norm"], _dense(feats["struct_proj"], struct_raw.astype(dtype)))
     )
     nav = jax.nn.sigmoid(_dense(feats["struct_gate"], struct_ctx))
@@ -173,7 +173,7 @@ def _score_chunk(
     err = h + r_ctx - t
     dist = -jnp.sqrt(jnp.sum((err * err).astype(jnp.float32), axis=-1, keepdims=True) + 1e-12)
     combined = jnp.concatenate([inter, struct_ctx, err, dist.astype(dtype)], axis=-1)
-    z = jax.nn.gelu(_layernorm(feats["state_norm"], _dense(feats["state_net_0"], combined)))
+    z = _gelu_exact(_layernorm(feats["state_norm"], _dense(feats["state_net_0"], combined)))
     z = _dense(feats["state_net_1"], z)
     return _dense(feats["score_head"], z)[..., 0].astype(jnp.float32)
 

@@ -49,6 +49,30 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def global_put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place one host array under ``sharding``, multi-process safe.
+
+    ``jax.device_put`` rejects shardings that span non-addressable devices
+    (a mesh over several processes); ``make_array_from_callback`` builds the
+    global array from each process's local shards instead.  Every process
+    must hold the full host value (the DP contract here: batches are
+    constructed identically from the same seed, params are replicated).
+    """
+    if sharding.mesh.devices.size == len(sharding.addressable_devices):
+        return jax.device_put(x, sharding)
+    if hasattr(x, "dtype") and jax.dtypes.issubdtype(getattr(x, "dtype"), jax.dtypes.prng_key):
+        data = global_put(jax.random.key_data(x), sharding)
+        return jax.random.wrap_key_data(data, impl=jax.random.key_impl(x))
+    host = np.asarray(x)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+
+def place_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree over the mesh (multi-process safe)."""
+    rep = replicated(mesh)
+    return jax.tree.map(lambda x: global_put(x, rep), tree)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a batch pytree with leading-axis sharding over the data mesh.
 
@@ -59,11 +83,10 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     ``data/feeder.py::collate_sharded``).
     """
     sh = batch_sharding(mesh)
+    rep = replicated(mesh)
 
     def place(x):
         x = jax.numpy.asarray(x)
-        if x.ndim == 0:
-            return jax.device_put(x, replicated(mesh))
-        return jax.device_put(x, sh)
+        return global_put(x, rep if x.ndim == 0 else sh)
 
     return jax.tree.map(place, batch)

@@ -163,7 +163,8 @@ def main() -> None:
         )
     lines += [
         "",
-        f"Score margin {retr.get('edge/score_margin', float('nan')):.3f}; "
+        f"Score margin {retr.get('edge/score_margin', float('nan')):.3f} "
+        f"(positive-margin rate {retr.get('edge/margin_positive_rate', float('nan')):.3f}); "
         f"bridge separation {retr.get('bridge/separation', float('nan')):.3f}.",
         "",
         "## Oracle upper bound over agent graphs",

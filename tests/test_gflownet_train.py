@@ -305,8 +305,9 @@ def test_concat_mode_embedder(setup):
     z = concat @ adapter["dense_0"]["kernel"] + adapter["dense_0"]["bias"]
     mean = z.mean(-1, keepdims=True)
     var = ((z - mean) ** 2).mean(-1, keepdims=True)
-    z = (z - mean) * jax.lax.rsqrt(var + 1e-6)
-    want = jax.nn.gelu(z) @ adapter["dense_1"]["kernel"] + adapter["dense_1"]["bias"]
+    z = (z - mean) * jax.lax.rsqrt(var + 1e-5)  # torch LayerNorm eps
+    # Exact (erf) GELU, matching the reference nn.GELU() semantics.
+    want = jax.nn.gelu(z, approximate=False) @ adapter["dense_1"]["kernel"] + adapter["dense_1"]["bias"]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
     # Full embed path with a concat bundle.

@@ -255,3 +255,63 @@ def test_gte_jax_in_build_pipeline(tmp_path):
     ent = np.load(tmp_path / "norm" / "embeddings" / "entity_embeddings.npy")
     assert ent.shape[1] == 16 and m["num_entities"] == 2
     assert np.abs(ent[1:]).sum() > 0  # real encoder output, row 0 reserved
+
+
+def test_build_gate_refuses_diverging_gte_port(tmp_path, monkeypatch):
+    """When encoder=gte_jax, task_build runs ``parity_check`` against the
+    torch reference encoder and refuses to build below the cosine floor
+    (VERDICT r2 next-step #6); an unavailable torch reference skips loudly
+    (covered by test_gte_jax_in_build_pipeline, whose tiny arch cannot load
+    via AutoModel)."""
+    import torch
+
+    from evi_rag_tpu import cli
+    from evi_rag_tpu.data.gte_jax import GTEJaxTextEncoder
+    from evi_rag_tpu.utils.config import ConfigError, load_config
+
+    d = tmp_path / "gte_tiny"
+    d.mkdir()
+    cfg = {
+        "vocab_size": 64, "hidden_size": 16, "num_hidden_layers": 1,
+        "num_attention_heads": 2, "intermediate_size": 24, "type_vocab_size": 2,
+        "rope_theta": 160000.0, "layer_norm_eps": 1e-12, "hidden_act": "gelu",
+        "model_type": "new",
+    }
+    (d / "config.json").write_text(json.dumps(cfg))
+    _write_tokenizer(d, 64)
+    torch.manual_seed(3)
+    torch.save(_torch_new_model(cfg).state_dict(), d / "pytorch_model.bin")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    pq.write_table(pa.Table.from_pylist([
+        {"id": "t0", "question": "who directed the film",
+         "answer": ["berlin"], "q_entity": ["film"], "a_entity": ["berlin"],
+         "graph": [["film", "rel.directed", "berlin"]]},
+    ]), raw / "train-0.parquet")
+
+    configs = str(pathlib.Path(__file__).resolve().parents[1] / "configs")
+    c = load_config(
+        configs, "build",
+        [
+            f"build.raw_root={raw}", f"build.out_dir={tmp_path}/norm",
+            "build.encoder.kind=gte_jax", f"build.encoder.model_path={d}",
+        ],
+    )
+    c["task_name"] = "build"
+    c.setdefault("paths", {})["log_dir"] = str(tmp_path / "logs")
+    rd = tmp_path / "run"
+    rd.mkdir()
+
+    # Diverging port => hard refusal before any artifact is written.
+    monkeypatch.setattr(GTEJaxTextEncoder, "parity_check", lambda self, p, t: 0.42)
+    with pytest.raises(ConfigError, match="parity FAILED"):
+        cli.task_build.__wrapped__(c, run_dir=rd)
+
+    # Passing port => build proceeds.
+    monkeypatch.setattr(GTEJaxTextEncoder, "parity_check", lambda self, p, t: 0.99999)
+    m = cli.task_build.__wrapped__(c, run_dir=rd)
+    assert m["num_entities"] == 2
