@@ -537,10 +537,10 @@ def _per_question_topk_kernel(
 
     @pl.when(i == 0)
     def _init():
-        vals_ref[:] = jnp.full(vals_ref.shape, neg, f32)  # [1, K2]
+        vals_ref[:] = jnp.full(vals_ref.shape, neg, f32)  # [1, 1, K2]
         # Distinct large sentinels: see ``_fused_topk_kernel._init``.
         big = jnp.int32(2**24 - k2)
-        idx_ref[:] = big + jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 1)
+        idx_ref[:] = big + jax.lax.broadcasted_iota(jnp.int32, idx_ref.shape, 2)
 
     h = h_ref[0]
     r = r_ref[0]
@@ -598,16 +598,16 @@ def _per_question_topk_kernel(
     ok = gidx < len_ref[pl.program_id(0)]
     scores = jnp.where(ok, scores[None, :], neg)  # [1, T]
 
-    comb_v = jnp.concatenate([scores, vals_ref[:]], axis=1)      # [1, N]
-    comb_i = jnp.concatenate([gidx, idx_ref[:]], axis=1)
+    comb_v = jnp.concatenate([scores, vals_ref[0]], axis=1)      # [1, N]
+    comb_i = jnp.concatenate([gidx, idx_ref[0]], axis=1)
     va = comb_v.T
     ia = comb_i.T
     better = (va > comb_v) | ((va == comb_v) & (ia < comb_i))
     rank = jnp.sum(better.astype(jnp.int32), axis=0, keepdims=True)
     slot = jax.lax.broadcasted_iota(jnp.int32, (k2, 1), 0)
     onehot = (rank == slot).astype(jnp.float32)
-    vals_ref[:] = jnp.sum(onehot * comb_v, axis=1)[None, :]
-    idx_ref[:] = jnp.sum(onehot * comb_i.astype(jnp.float32), axis=1).astype(jnp.int32)[None, :]
+    vals_ref[0] = jnp.sum(onehot * comb_v, axis=1)[None, :]
+    idx_ref[0] = jnp.sum(onehot * comb_i.astype(jnp.float32), axis=1).astype(jnp.int32)[None, :]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
@@ -694,13 +694,16 @@ def pallas_per_question_topk(
                 full(d, 1), vec(1),
             ],
             out_specs=[
-                pl.BlockSpec((1, k2), lambda g, i, *_: (g, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, k2), lambda g, i, *_: (g, 0), memory_space=pltpu.VMEM),
+                # 3-D blocks: Mosaic rejects length-1-sublane 2-D blocks,
+                # so the per-question buffer rides a singleton middle axis
+                # (same layout trick as ``_fused_topk_kernel``'s outputs).
+                pl.BlockSpec((1, 1, k2), lambda g, i, *_: (g, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, k2), lambda g, i, *_: (g, 0, 0), memory_space=pltpu.VMEM),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((g_n, k2), jnp.float32),
-            jax.ShapeDtypeStruct((g_n, k2), jnp.int32),
+            jax.ShapeDtypeStruct((g_n, 1, k2), jnp.float32),
+            jax.ShapeDtypeStruct((g_n, 1, k2), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -721,6 +724,8 @@ def pallas_per_question_topk(
     # (questions with fewer than k valid candidates) carry the kernel's
     # finfo.min sentinel -- surface them as -inf like the XLA path so
     # callers can mask with isfinite.
+    vals = vals[:, 0, :]
+    idx = idx[:, 0, :]
     vals = vals[:, :k]
     vals = jnp.where(vals <= jnp.finfo(jnp.float32).min, -jnp.inf, vals)
     return vals, idx[:, :k]
