@@ -81,29 +81,18 @@ def _prep_weights(feats: dict[str, Any], dtype=jnp.bfloat16) -> dict[str, jax.Ar
     }
 
 
-def _erf_poly(x):
-    """erf via the Abramowitz--Stegun 7.1.26 polynomial (|err| <= 1.5e-7).
-
-    Mosaic TPU lowering implements neither ``erf`` nor ``erfc``, so the
-    exact-GELU path cannot call ``jax.nn.gelu(approximate=False)`` inside a
-    kernel; this polynomial keeps the kernel within f32 noise of the exact
-    XLA epilogue (the tanh-approximate form deviates ~1e-3)."""
-    p = 0.3275911
-    a1, a2, a3, a4, a5 = (
-        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429,
-    )
-    s = jnp.sign(x)
-    ax = jnp.abs(x)
-    t = 1.0 / (1.0 + p * ax)
-    y = 1.0 - ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t * jnp.exp(-ax * ax)
-    return s * y
-
-
 def _gelu(x):
-    # Exact (erf-form) GELU to match the reference nn.GELU() (see
-    # ops/nnfn.py); erf evaluated by polynomial -- Mosaic has no erf.
-    x32 = x.astype(jnp.float32)
-    return (0.5 * x32 * (1.0 + _erf_poly(x32 * 0.7071067811865476))).astype(x.dtype)
+    """Tanh-approximate GELU -- deliberate in-kernel deviation from the
+    exact erf form used on the XLA/training path (``ops/nnfn.py``).
+
+    Mosaic lowers neither ``erf`` nor ``erfc``; an erf polynomial
+    (A&S 7.1.26, |err| <= 1.5e-7) was measured to HALVE kernel throughput
+    (194 -> 82 q/s @131k) because the VPU epilogues are the limiter once bq
+    amortizes the MXU work.  The kernels compute in bf16, whose rounding
+    (~1e-2 relative) dominates the tanh-vs-erf difference (~1e-3), so the
+    cheap form costs nothing measurable in ranking accuracy -- covered by
+    the kernel-vs-XLA tolerance tests."""
+    return jax.nn.gelu(x, approximate=True)
 
 
 def _ln(x, scale, bias, eps=1e-5):

@@ -761,3 +761,70 @@ def test_subtb_matches_torch_oracle(seed):
     got_nm = subtb_loss(states, jnp.asarray(log_pf), jnp.asarray(edge_lengths))
     want_nm = _oracle_subtb(want_states, T(log_pf), TL(edge_lengths))
     np.testing.assert_allclose(float(got_nm), float(want_nm), rtol=1e-5, atol=1e-6)
+
+
+# --------------------------------------------------------------------- #
+# 7. Actor joint edges+STOP log-prob oracle
+# --------------------------------------------------------------------- #
+
+
+def _oracle_log_probs_edges(edge_logits, stop_logits, edge_batch, valid_edges,
+                            num_graphs, temp):
+    """``GFlowNetActor._log_probs_edges`` (``gflownet_actor.py:375-418``),
+    segment-logsumexp via scatter_reduce_ amax + scatter_add_."""
+    neg_inf = torch.finfo(torch.float32).min
+    edge_scaled = edge_logits.float() / temp
+    stop_scaled = stop_logits.float() / temp
+    v = valid_edges.bool()
+    if bool(v.any()):
+        mx = torch.full((num_graphs,), neg_inf)
+        mx.scatter_reduce_(0, edge_batch[v], edge_scaled[v], reduce="amax", include_self=True)
+        ex = torch.exp(edge_scaled[v] - mx[edge_batch[v]])
+        sm = torch.zeros(num_graphs)
+        sm.scatter_add_(0, edge_batch[v], ex)
+        lse = torch.where(
+            sm > 0, mx + torch.log(sm.clamp_min(1e-38)), torch.full_like(mx, neg_inf)
+        )
+    else:
+        lse = torch.full((num_graphs,), neg_inf)
+    log_denom = torch.logaddexp(lse, stop_scaled)
+    lp_edge = edge_scaled - log_denom[edge_batch]
+    lp_edge = torch.where(v, lp_edge, torch.full_like(lp_edge, neg_inf))
+    lp_stop = stop_scaled - log_denom
+    has_edge = lse > neg_inf
+    return lp_edge, lp_stop, has_edge
+
+
+@pytest.mark.parametrize("seed", [3, 12])
+def test_actor_log_probs_match_torch_oracle(seed):
+    from evi_rag_tpu.models.gflownet.actor import log_probs_edges
+
+    rng = np.random.default_rng(seed)
+    g, e = 5, 40
+    edge_logits = (rng.normal(size=e) * 3).astype(np.float32)
+    stop_logits = (rng.normal(size=g) * 2).astype(np.float32)
+    edge_batch = np.sort(rng.integers(0, g, size=e)).astype(np.int32)
+    valid = rng.random(e) < 0.7
+    valid[edge_batch == 3] = False  # a graph with no valid edges (stop-only)
+    temp = 0.8
+
+    lp_e, lp_s, has = log_probs_edges(
+        jnp.asarray(edge_logits), jnp.asarray(stop_logits),
+        jnp.asarray(edge_batch), jnp.asarray(valid), g, temp,
+    )
+    o_e, o_s, o_has = _oracle_log_probs_edges(
+        T(edge_logits), T(stop_logits), TL(edge_batch),
+        torch.from_numpy(valid), g, temp,
+    )
+    np.testing.assert_allclose(np.asarray(lp_s), o_s.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(has), o_has.numpy())
+    ve = valid  # compare only valid edges (invalid are -inf sentinels both sides)
+    np.testing.assert_allclose(
+        np.asarray(lp_e)[ve], o_e.numpy()[ve], rtol=1e-5, atol=1e-6
+    )
+    # The joint categorical normalizes: sum_e P(e) + P(stop) == 1 per graph.
+    pe = np.exp(np.asarray(lp_e)[ve])
+    tot = np.zeros(g)
+    np.add.at(tot, edge_batch[ve], pe)
+    tot += np.exp(np.asarray(lp_s))
+    np.testing.assert_allclose(tot, np.ones(g), rtol=1e-5)
