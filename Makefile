@@ -11,7 +11,8 @@ test-native:     ## native graphcore parity
 
 test-tpu:        ## hardware lane: kernels + bf16 numerics on the real chip
 	EVI_TESTS_ON_TPU=1 python -m pytest tests/test_pallas_score.py \
-	  tests/test_knn.py tests/test_serving_parity.py tests/test_hw_numerics.py -q
+	  tests/test_knn.py tests/test_serving_parity.py tests/test_hw_numerics.py \
+	  tests/test_cli_serve.py -q
 
 bench:           ## headline throughput benchmark (real TPU)
 	python bench.py
