@@ -66,9 +66,12 @@ class GFlowNetConfig:
     patience: int = 5
     dropout: float = 0.1
     # Cache the frozen retriever embeddings per train batch across epochs
-    # (the heavy parameter-free part of every step; VERDICT round-1 weak #8).
-    # Costs device memory proportional to the epoch's batch count.
-    cache_frozen_embed: bool = False
+    # (the heavy parameter-free part of every step; measured 837.5 -> 979.5
+    # graphs/s on a v5e chip). Default on: epoch-style fit reuses fixed
+    # batch membership (order still reshuffles per epoch). Costs device
+    # memory proportional to the epoch's batch count — disable for very
+    # large epochs or when per-epoch batch re-composition matters.
+    cache_frozen_embed: bool = True
 
     @property
     def actor(self) -> ActorConfig:
