@@ -25,10 +25,80 @@ are broadcast.
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 
 NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+# EVI_SEGMENT_MODE: "dense" (default) | "scatter".
+# Dense = one-hot [G, E] matmul/masked-reduce instead of XLA scatter for
+# small segment counts (per-graph reductions, G <= _DENSE_MAX_SEGMENTS);
+# larger counts (e.g. DDE per-node aggregation) always use scatter.  On a
+# v5e chip dense measured +9-13% GFlowNet step (925 -> 1010 graphs/s
+# uncached, 919 -> 1035 cached) and +11% retriever train step
+# (1094 -> 1211 graphs/s): TPU scatter serializes updates while the
+# membership matmul/masked-reduce stays on the MXU/VPU, and it vmaps
+# (rollouts, shards) without batched-scatter penalties.
+_MODE = os.environ.get("EVI_SEGMENT_MODE", "dense")
+_DENSE_MAX_SEGMENTS = int(os.environ.get("EVI_SEGMENT_DENSE_MAX", "128"))
+_DENSE_OPS = set(os.environ.get("EVI_SEGMENT_DENSE_OPS", "sum,max,min").split(","))
+
+
+def _dense_ok(num_segments: int, op: str = "sum") -> bool:
+    return _MODE == "dense" and op in _DENSE_OPS and num_segments <= _DENSE_MAX_SEGMENTS
+
+
+def _onehot(segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    """[G, E] bool membership matrix."""
+    return segment_ids[None, :] == jnp.arange(
+        num_segments, dtype=segment_ids.dtype
+    )[:, None]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _dense_sum(data, segment_ids, num_segments):
+    oh = _onehot(segment_ids, num_segments)
+    if data.ndim == 1:
+        # where (not multiply): a non-finite value in a dropped lane must not
+        # poison other segments via 0 * inf (scatter simply never adds it).
+        sel = jnp.where(oh, data[None, :], jnp.zeros((), data.dtype))
+        return sel.sum(axis=1)
+    # ND: one-hot matmul (the MXU formulation).  Out-of-range lanes are
+    # zeroed first -- they would otherwise contribute 0 * inf = NaN to every
+    # segment if non-finite.  (A non-finite value in an *in-range* lane
+    # already makes its own segment non-finite under either path.)
+    in_range = (segment_ids >= 0) & (segment_ids < num_segments)
+    flat = data.reshape(data.shape[0], -1)
+    flat = jnp.where(in_range[:, None], flat, jnp.zeros((), flat.dtype))
+    out = jnp.matmul(
+        oh.astype(flat.dtype), flat, preferred_element_type=flat.dtype
+    )
+    return out.reshape((num_segments,) + data.shape[1:])
+
+
+def _dense_sum_fwd(data, segment_ids, num_segments):
+    return _dense_sum(data, segment_ids, num_segments), segment_ids
+
+
+def _dense_sum_bwd(num_segments, segment_ids, cot):
+    # Same VJP as the scatter path: gather the output cotangent at each
+    # lane's segment.  The one-hot-multiply autodiff rule would instead
+    # compute ``sum_g cot[g] * onehot[g, e]``, where a single +/-inf
+    # cotangent poisons EVERY lane via 0 * inf = NaN.
+    return jnp.take(cot, segment_ids, axis=0, mode="fill", fill_value=0), None
+
+
+_dense_sum.defvjp(_dense_sum_fwd, _dense_sum_bwd)
+
+
+def _dense_reduce(data, segment_ids, num_segments, fill, op):
+    """1D masked min/max reduce via the [G, E] membership matrix."""
+    oh = _onehot(segment_ids, num_segments)
+    filled = jnp.where(oh, data[None, :], jnp.asarray(fill, data.dtype))
+    return op(filled, axis=1)
 
 
 def _expand_mask(mask: jax.Array | None, data: jax.Array) -> jax.Array | None:
@@ -51,6 +121,8 @@ def segment_sum(
     m = _expand_mask(mask, data)
     if m is not None:
         data = jnp.where(m, data, jnp.zeros_like(data))
+    if _dense_ok(num_segments, "sum"):
+        return _dense_sum(data, segment_ids, num_segments)
     return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
 
 
@@ -78,6 +150,8 @@ def segment_max(
     m = _expand_mask(mask, data)
     if m is not None:
         data = jnp.where(m, data, jnp.full_like(data, fill))
+    if _dense_ok(num_segments, "max") and data.ndim == 1:
+        return _dense_reduce(data, segment_ids, num_segments, fill, jnp.max)
     out = jax.ops.segment_max(data, segment_ids, num_segments=num_segments)
     # segment_max fills empty segments with dtype-min already; clamp to `fill`.
     return jnp.maximum(out, jnp.asarray(fill, dtype=out.dtype))
@@ -97,6 +171,8 @@ def segment_min(
     m = _expand_mask(mask, data)
     if m is not None:
         data = jnp.where(m, data, jnp.full_like(data, fill))
+    if _dense_ok(num_segments, "min") and data.ndim == 1:
+        return _dense_reduce(data, segment_ids, num_segments, fill, jnp.min)
     out = jax.ops.segment_min(data, segment_ids, num_segments=num_segments)
     return jnp.minimum(out, jnp.asarray(fill, dtype=out.dtype))
 
@@ -137,11 +213,13 @@ def segment_logsumexp(
     # fill would otherwise compute exp(huge)=inf, and the downstream
     # where(mask, ., 0) would then produce 0*inf=NaN *gradients*.  With the
     # lane forced to -inf first, exp and its derivative are exactly 0.
-    shifted = data - seg_max[segment_ids]
+    # mode="fill" keeps out-of-range lanes finite (eager indexing would clamp,
+    # jit would fill -- and a clamped NEG_INF max makes exp() overflow).
+    shifted = data - jnp.take(seg_max, segment_ids, mode="fill", fill_value=0.0)
     if mask is not None:
         shifted = jnp.where(mask, shifted, -jnp.inf)
     expv = jnp.exp(shifted)
-    seg_sum = jax.ops.segment_sum(expv, segment_ids, num_segments=num_segments)
+    seg_sum = segment_sum(expv, segment_ids, num_segments)
     out = seg_max + jnp.log(jnp.maximum(seg_sum, jnp.finfo(data.dtype).tiny))
     return jnp.where(seg_sum > 0, out, jnp.full_like(out, NEG_INF))
 
@@ -160,14 +238,14 @@ def segment_softmax(
     if data.ndim != 1:
         raise ValueError(f"segment_softmax expects 1D data, got shape {data.shape}")
     seg_max = segment_max(data, segment_ids, num_segments, mask=mask)
-    shifted = data - seg_max[segment_ids]
+    shifted = data - jnp.take(seg_max, segment_ids, mode="fill", fill_value=0.0)
     if mask is not None:
         # Mask before exp (see segment_logsumexp): keeps gradients NaN-free.
         shifted = jnp.where(mask, shifted, -jnp.inf)
     expv = jnp.exp(shifted)
-    denom = jax.ops.segment_sum(expv, segment_ids, num_segments=num_segments)
+    denom = segment_sum(expv, segment_ids, num_segments)
     denom = jnp.maximum(denom, jnp.finfo(data.dtype).tiny)
-    return expv / denom[segment_ids]
+    return expv / jnp.take(denom, segment_ids, mode="fill", fill_value=1.0)
 
 
 def segment_argmax(
@@ -192,6 +270,6 @@ def segment_argmax(
         is_max = is_max & mask
     idx = jnp.arange(n, dtype=jnp.int32)
     packed = jnp.where(is_max, idx, n)  # n == "no candidate" sentinel
-    arg = jax.ops.segment_min(packed, segment_ids, num_segments=num_segments)
+    arg = segment_min(packed, segment_ids, num_segments)
     arg = jnp.where(arg >= n, 0, arg)
     return seg_max, arg

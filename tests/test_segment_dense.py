@@ -1,0 +1,116 @@
+"""Dense (one-hot) segment-op formulation: exact parity with the scatter path.
+
+The dense path (``ops/segment.py::_dense_sum`` / ``_dense_reduce``) replaces
+XLA scatter with a [G, E] membership matmul / masked reduce for small segment
+counts -- the TPU-friendly formulation of the per-graph reductions in the
+GFlowNet rollout (reference torch_scatter surface, ``gflownet_actor.py:262-281``).
+These tests pin dense == scatter on values AND gradients, including the
+inf-cotangent case where the naive one-hot-multiply VJP would produce NaN.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import evi_rag_tpu.ops.segment as seg
+
+
+@pytest.fixture
+def modes():
+    """Run the wrapped call once per mode and restore module state."""
+    orig = (seg._MODE, seg._DENSE_OPS, seg._DENSE_MAX_SEGMENTS)
+
+    def run(fn):
+        outs = []
+        for mode in ("scatter", "dense"):
+            seg._MODE = mode
+            seg._DENSE_OPS = {"sum", "max", "min"}
+            seg._DENSE_MAX_SEGMENTS = 128
+            outs.append(fn())
+        seg._MODE, seg._DENSE_OPS, seg._DENSE_MAX_SEGMENTS = orig
+        return outs
+
+    yield run
+    seg._MODE, seg._DENSE_OPS, seg._DENSE_MAX_SEGMENTS = orig
+
+
+def _data(seed=0, n=57, g=7, feat=None):
+    rng = np.random.default_rng(seed)
+    ids = jnp.asarray(rng.integers(0, g, size=n), jnp.int32)
+    # Segment g-1 left empty; a few out-of-range lanes (dropped by both paths).
+    ids = ids.at[:3].set(g + 2)
+    ids = jnp.where(ids == g - 1, 0, ids)
+    shape = (n,) if feat is None else (n, feat)
+    data = jnp.asarray(rng.normal(size=shape), jnp.float32)
+    mask = jnp.asarray(rng.random(n) > 0.3)
+    return data, ids, g, mask
+
+
+@pytest.mark.parametrize("feat", [None, 5])
+def test_segment_sum_parity(modes, feat):
+    data, ids, g, mask = _data(feat=feat)
+    for m in (None, mask):
+        a, b = modes(lambda: np.asarray(seg.segment_sum(data, ids, g, mask=m)))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("op", ["max", "min"])
+def test_segment_reduce_parity(modes, op):
+    data, ids, g, mask = _data(seed=1)
+    fn = seg.segment_max if op == "max" else seg.segment_min
+    for m in (None, mask):
+        a, b = modes(lambda: np.asarray(fn(data, ids, g, mask=m)))
+        np.testing.assert_allclose(a, b)
+
+
+def test_segment_lse_softmax_argmax_parity(modes):
+    data, ids, g, mask = _data(seed=2)
+    for m in (None, mask):
+        a, b = modes(lambda: np.asarray(seg.segment_logsumexp(data, ids, g, mask=m)))
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+        a, b = modes(lambda: np.asarray(seg.segment_softmax(data, ids, g, mask=m)))
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+        (av, ai), (bv, bi) = modes(
+            lambda: tuple(np.asarray(x) for x in seg.segment_argmax(data, ids, g, mask=m))
+        )
+        np.testing.assert_allclose(av, bv)
+        np.testing.assert_array_equal(ai, bi)
+
+
+def test_segment_sum_grad_parity(modes):
+    data, ids, g, mask = _data(seed=3)
+
+    def loss(x):
+        return jnp.sum(jnp.sin(seg.segment_sum(x, ids, g, mask=mask)))
+
+    a, b = modes(lambda: np.asarray(jax.grad(loss)(data)))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_segment_sum_grad_inf_cotangent(modes):
+    """An inf cotangent on one segment must stay confined to that segment's
+    lanes (the naive dense VJP NaN'd every lane via 0*inf)."""
+    data, ids, g, _ = _data(seed=4)
+    weights = jnp.ones((g,)).at[2].set(jnp.inf)
+
+    def loss(x):
+        out = seg.segment_sum(x, ids, g)
+        return jnp.sum(jnp.where(jnp.isfinite(weights), out, out * weights))
+
+    a, b = modes(lambda: np.asarray(jax.grad(loss)(data)))
+    own = np.asarray(ids) == 2
+    assert np.isfinite(a[~own]).all() and np.isfinite(b[~own]).all()
+    np.testing.assert_allclose(a[~own], b[~own], rtol=1e-6)
+
+
+def test_segment_lse_grad_parity_with_empty_segments(modes):
+    data, ids, g, mask = _data(seed=5)
+
+    def loss(x):
+        lse = seg.segment_logsumexp(x, ids, g, mask=mask)
+        return jnp.sum(jnp.where(lse > seg.NEG_INF / 2, lse, 0.0))
+
+    a, b = modes(lambda: np.asarray(jax.grad(loss)(data)))
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
