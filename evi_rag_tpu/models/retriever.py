@@ -27,6 +27,7 @@ padded layout keeps shapes static across batches of ragged graphs.
 from __future__ import annotations
 
 import dataclasses
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -56,6 +57,49 @@ class EmbeddingProjector(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         return jnp.tanh(nn.Dense(self.features, name="proj")(x))
+
+
+class SplitInputDense(nn.Module):
+    """``nn.Dense`` over a conceptual concat input, applied piece-by-piece.
+
+    Identical parameters to ``nn.Dense(features)`` called on
+    ``concat(parts, -1)`` — same ``kernel``/``bias`` names, shapes, and init —
+    but the wide ``[E, sum(d_i)]`` concat is never materialized: each piece
+    multiplies its own kernel row-slice and the partial products accumulate
+    in f32.  On the train step this removes the largest HBM buffers XLA was
+    otherwise forced to materialize (the ``[E, 3D+1]`` activation and its two
+    f32 backward cotangent copies — ~0.8 GB of the 11.5 GB/step at
+    E=16384, D=1024).  The serving kernels already consume this kernel in
+    row-sliced form (``ops/pallas_score.py:46-50``).
+    """
+
+    features: int
+    in_features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts: tuple[jax.Array, ...]) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        acc = bias.astype(jnp.float32)
+        off = 0
+        for p in parts:
+            d = p.shape[-1]
+            k = kernel[off : off + d].astype(self.dtype)
+            acc = acc + jax.lax.dot_general(
+                p.astype(self.dtype),
+                k,
+                (((p.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            off += d
+        if off != self.in_features:
+            raise ValueError(f"parts sum to {off} features, kernel has {self.in_features}")
+        return acc.astype(self.dtype)
 
 
 class Retriever(nn.Module):
@@ -116,7 +160,9 @@ class Retriever(nn.Module):
         self.struct_proj = nn.Dense(d, name="struct_proj", dtype=cdtype)
         self.struct_norm = nn.LayerNorm(name="struct_norm", dtype=cdtype, epsilon=1e-5)
         self.struct_gate = nn.Dense(1, name="struct_gate", dtype=cdtype)
-        self.state_net_0 = nn.Dense(h, name="state_net_0", dtype=cdtype)
+        self.state_net_0 = SplitInputDense(
+            h, in_features=3 * d + 1, name="state_net_0", dtype=cdtype
+        )
         self.state_norm = nn.LayerNorm(name="state_norm", dtype=cdtype, epsilon=1e-5)
         self.state_net_1 = nn.Dense(h, name="state_net_1", dtype=cdtype)
         self.score_head = nn.Dense(1, name="score_head")
@@ -168,8 +214,13 @@ class Retriever(nn.Module):
             err32 = error_vec.astype(jnp.float32)
             dist = -jnp.sqrt(jnp.sum(err32 * err32, axis=-1, keepdims=True) + 1e-12)
             dist = dist.astype(error_vec.dtype)
-            combined = jnp.concatenate([interaction, struct_ctx, error_vec, dist], axis=-1)
-            feats = _gelu_exact(self.state_norm(self.state_net_0(combined)))
+            # combined = concat([interaction, struct_ctx, error_vec, dist]);
+            # applied piecewise so the [E, 3D+1] concat never hits HBM.
+            feats = _gelu_exact(
+                self.state_norm(
+                    self.state_net_0((interaction, struct_ctx, error_vec, dist))
+                )
+            )
             feats = self.dropout(feats, deterministic=not train)
             feats = self.state_net_1(feats)
             logits = self.score_head(feats)[..., 0].astype(jnp.float32)
