@@ -190,8 +190,14 @@ def rollout(
         return new_state, outs
 
     xs = (jnp.arange(T, dtype=jnp.int32), step_keys, forced)
+    # Horizons are tiny (reference max_steps=3, gflownet_env.py:266-387), so
+    # fully unroll short rollouts: the while-loop (and its reverse-mode twin)
+    # serialized small per-step ops behind loop-carried dynamic-update-slices;
+    # unrolled, XLA fuses across steps.  Measured on a v5e: 12.8 -> 11.2 ms
+    # per train step at T=3 (1253 -> 1428 graphs/s, +14%).  Longer horizons
+    # keep the scan to bound code size.
     final_state, (log_pf_steps, state_emb_seq, actions_seq, bc_losses, bc_counts) = jax.lax.scan(
-        step_fn, state0, xs
+        step_fn, state0, xs, unroll=True if T <= 8 else 1
     )
 
     # scan stacks on axis 0 = time; transpose to [G, T].
