@@ -250,9 +250,17 @@ def task_build(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                 "",
             ]
             min_cos = float(enc_cfg.get("parity_min_cosine", 0.999))
+            from evi_rag_tpu.data.gte_jax import ReferenceEncoderUnavailable
+
             try:
                 cos = encoder.parity_check(enc_cfg["model_path"], probe)
-            except Exception as exc:  # torch / trust_remote_code unavailable
+            except ReferenceEncoderUnavailable as exc:
+                # Only a reference encoder that cannot be *constructed* in
+                # this environment (torch/transformers absent, remote code
+                # unfetchable offline) downgrades the gate to a loud skip.
+                # Failures during encoding/comparison propagate and refuse
+                # the build -- a swallowed error there is exactly the
+                # silent-wrong-embeddings outcome the gate exists to prevent.
                 log.warning(
                     "gte_jax parity_check SKIPPED (torch reference encoder "
                     "unavailable: %s) -- the port is unverified against the "
@@ -629,7 +637,7 @@ def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
     )
 
 
-def _agent_batches_fn(cfg: dict, split: str, batch_size: int):
+def _agent_batches_fn(cfg: dict, split: str, batch_size: int, *, seed: int = 0):
     from evi_rag_tpu.data.feeder import collate_agent, fixed_agent_bucket
     from evi_rag_tpu.eval.artifacts import load_agent_store
 
@@ -645,7 +653,9 @@ def _agent_batches_fn(cfg: dict, split: str, batch_size: int):
     def batches(epoch: int = 0):
         order = np.arange(len(agent_samples))
         if split == "train":
-            np.random.default_rng(epoch).shuffle(order)
+            # Fold the run seed so different seeds see different batch
+            # compositions (a bare epoch seed made every run identical).
+            np.random.default_rng([seed, epoch]).shuffle(order)
         for i in range(0, len(order), batch_size):
             chunk = [agent_samples[j] for j in order[i : i + batch_size]]
             yield collate_agent(chunk, entity_emb=ent, relation_emb=rel, question_emb=q, bucket=bucket)
@@ -677,11 +687,12 @@ def task_train_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         )
     bs = int(cfg.get("gflownet", {}).get("batch_size", 8))
 
-    _, train_batches = _agent_batches_fn(cfg, "train", bs)
+    run_seed = int(cfg.get("gflownet", {}).get("seed", 0))
+    _, train_batches = _agent_batches_fn(cfg, "train", bs, seed=run_seed)
     _, val_batches = _agent_batches_fn(cfg, "validation", bs)
 
     best_params, info = fit_gflownet(
-        gcfg, bundle, train_batches, lambda: val_batches(), seed=int(cfg.get("gflownet", {}).get("seed", 0))
+        gcfg, bundle, train_batches, lambda: val_batches(), seed=run_seed
     )
     ckpt_dir = pathlib.Path(cfg.get("gflownet", {}).get("ckpt_dir", run_dir / "ckpt"))
     # Re-export retriever_meta incl. the retriever ckpt digest so eval can
@@ -1062,6 +1073,7 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             k=k, num_rounds=int(pm["dde_rounds"]),
             num_reverse_rounds=int(pm["dde_reverse_rounds"]),
             group_size=group_size, dtype=dtype, projected=split_tables, mesh=mesh,
+            fused_threshold=int(sv.get("fused_threshold", 16384)),
         )
         out[f"{split}/num_questions"] = stats.num_questions
         out[f"{split}/queries_per_s"] = stats.queries_per_s

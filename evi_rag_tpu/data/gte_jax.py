@@ -42,6 +42,10 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class ReferenceEncoderUnavailable(RuntimeError):
+    """The torch reference encoder cannot be built in this environment."""
+
+
 @dataclasses.dataclass(frozen=True)
 class GTEConfig:
     vocab_size: int
@@ -265,11 +269,24 @@ class GTEJaxTextEncoder:
 
     def parity_check(self, model_dir: str | pathlib.Path, texts: Sequence[str]) -> float:
         """Min cosine similarity vs the reference torch encoder on the same
-        checkpoint (run when the real weights are available)."""
+        checkpoint (run when the real weights are available).
+
+        Raises :class:`ReferenceEncoderUnavailable` when the torch reference
+        cannot be *constructed* in this environment (torch/transformers
+        absent, remote modeling code unfetchable offline) — callers may
+        downgrade that case to a loud skip.  Failures during encoding or
+        comparison propagate as-is: those mean the reference ran and
+        something is wrong, which must not be swallowed.
+        """
         from evi_rag_tpu.data.text_encoder import TorchHFTextEncoder
 
-        ref = TorchHFTextEncoder(str(model_dir), max_length=self.max_length,
-                                 trust_remote_code=True)
+        try:
+            ref = TorchHFTextEncoder(str(model_dir), max_length=self.max_length,
+                                     trust_remote_code=True)
+        except Exception as exc:
+            raise ReferenceEncoderUnavailable(
+                f"torch reference encoder could not be constructed: {exc}"
+            ) from exc
         a = self.encode(list(texts), batch_size=min(8, max(len(texts), 1)))
         b = ref.encode(list(texts))
         num = (a * b).sum(-1)

@@ -68,8 +68,13 @@ def _dense_sum(data, segment_ids, num_segments):
         return sel.sum(axis=1)
     # ND: one-hot matmul (the MXU formulation).  Out-of-range lanes are
     # zeroed first -- they would otherwise contribute 0 * inf = NaN to every
-    # segment if non-finite.  (A non-finite value in an *in-range* lane
-    # already makes its own segment non-finite under either path.)
+    # segment if non-finite.  KNOWN DIVERGENCE from scatter: a non-finite
+    # value in an *in-range* lane poisons every segment here (0 * inf = NaN
+    # inside the matmul), where scatter confines it to the lane's own
+    # segment.  Both paths make the cross-graph mean loss non-finite, so
+    # training failure stays equally visible; per-graph metric attribution
+    # under instability needs EVI_SEGMENT_MODE=scatter (or debug.yaml's
+    # jax_debug_nans, which fires on the first non-finite value either way).
     in_range = (segment_ids >= 0) & (segment_ids < num_segments)
     flat = data.reshape(data.shape[0], -1)
     flat = jnp.where(in_range[:, None], flat, jnp.zeros((), flat.dtype))

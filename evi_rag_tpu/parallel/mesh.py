@@ -84,9 +84,21 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """
     sh = batch_sharding(mesh)
     rep = replicated(mesh)
+    canon = {
+        np.dtype(np.int64): np.int32,
+        np.dtype(np.uint64): np.uint32,
+        np.dtype(np.float64): np.float32,
+    }
 
     def place(x):
-        x = jax.numpy.asarray(x)
+        # Keep host arrays host-side (canonicalizing 64-bit dtypes the way
+        # jnp.asarray would): an eager jnp.asarray here would upload to the
+        # default device first, which global_put's multi-process path then
+        # pulls straight back to host before re-uploading per-shard -- a
+        # wasted H2D+D2H round trip per leaf on the train-step hot path.
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+            x = x.astype(canon.get(x.dtype, x.dtype), copy=False)
         return global_put(x, rep if x.ndim == 0 else sh)
 
     return jax.tree.map(place, batch)

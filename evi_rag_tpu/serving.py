@@ -376,24 +376,19 @@ def serve_split(
     dispatch_s = drain_s = 0.0
 
     def dispatch_group(q_dev, u, *, m_pad):
-        """Score one group from device-resident field tensors (async)."""
-        use_fused = m_pad >= fused_threshold and mesh is None
-        args = (bundle, q_dev, ent_t_dev, rel_t_dev,
-                u["head_rows"], u["rel_ids"], u["tail_rows"],
-                u["topic"], u["eidx"], u["emask"])
-        if use_fused:
-            # Large buckets: streaming Pallas kernel (score materialization
-            # + separate top_k makes the XLA path lose there).
-            interp = (
-                fused_interpret if fused_interpret is not None
-                else jax.default_backend() == "cpu"
-            )
-            return serve_group_fused(
-                *args, k=k, num_rounds=num_rounds,
-                num_reverse_rounds=num_reverse_rounds, interpret=interp,
-            )
+        """Score one group from device-resident field tensors (async).
+
+        Mesh-path only: the question axis shards over devices via the XLA
+        scorer (the fused Pallas kernel runs in the single-device path's
+        ``serve_window``; per-shard Pallas under ``shard_map`` lives in
+        ``query_topk_sharded_fused`` for the pooled-index surface).
+        """
+        del m_pad
         return serve_group(
-            *args, k=k, num_rounds=num_rounds,
+            bundle, q_dev, ent_t_dev, rel_t_dev,
+            u["head_rows"], u["rel_ids"], u["tail_rows"],
+            u["topic"], u["eidx"], u["emask"],
+            k=k, num_rounds=num_rounds,
             num_reverse_rounds=num_reverse_rounds, dtype=dtype,
         )
 
@@ -477,7 +472,10 @@ def serve_split(
                     u["lengths"], u["topic"], u["ncnt"], u["qids"],
                     k=k, num_rounds=num_rounds,
                     num_reverse_rounds=num_reverse_rounds, dtype=dtype,
-                    use_fused=key[0] >= fused_threshold, interpret=interp,
+                    # The fused kernel computes in bf16 internally; an
+                    # explicit float32 request must keep the XLA scorer.
+                    use_fused=(key[0] >= fused_threshold and dtype == jnp.bfloat16),
+                    interpret=interp,
                 )
                 pend.append((key, vals, ids))
                 num_groups += len(metas[key])

@@ -419,7 +419,9 @@ def fit_gflownet(
                     cached_batches.append((b, fe))
             import numpy as _np
 
-            order = _np.random.default_rng(epoch).permutation(len(cached_batches))
+            # Fold the run seed: a bare epoch seed would give every run the
+            # same inter-epoch batch order.
+            order = _np.random.default_rng([seed, epoch]).permutation(len(cached_batches))
             for j in order:
                 b, fe = cached_batches[j]
                 state, last = train_step(state, b, fe)

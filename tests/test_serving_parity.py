@@ -184,6 +184,37 @@ def test_serve_split_fused_routing_matches_xla():
             assert abs(ref_s[e] - got_s[e]) < 0.01 + 0.01 * abs(ref_s[e])
 
 
+def test_serve_split_float32_never_routes_to_bf16_kernel():
+    """An explicit float32 request must keep the XLA scorer even for buckets
+    above fused_threshold: the fused Pallas kernel computes in bf16
+    internally, so f32 + forced-threshold must be bit-identical to the plain
+    f32 path (it would differ at ~1e-2 if the kernel were used)."""
+    from evi_rag_tpu.serving import serve_split
+
+    ds = make_synthetic_dataset(num_samples=6, emb_dim=EMB, max_nodes=14, seed=23)
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    bucket = Bucket(graphs=2, nodes=64, edges=256)
+    b0 = collate_retriever(
+        ds.samples[:1], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    params = jax.jit(model.init)(jax.random.key(3), b0)
+    bundle = export_retriever_features(params["params"], model.parity_meta())
+
+    kw = dict(
+        entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, k=10, num_rounds=2, num_reverse_rounds=2,
+        group_size=3, dtype=jnp.float32,
+    )
+    res_plain, _ = serve_split(bundle, ds.samples, **kw)
+    res_forced, _ = serve_split(bundle, ds.samples, fused_threshold=1, **kw)
+    by_id = {r.sample_id: r for r in res_forced}
+    for r in res_plain:
+        got = by_id[r.sample_id]
+        np.testing.assert_array_equal(r.edge_ids, got.edge_ids)
+        np.testing.assert_array_equal(r.scores, got.scores)
+
+
 def test_serve_recall_counts_zero_positive_questions():
     """Zero-positive questions must count as recall 0 in the denominator
     (reference EdgeRecallAtK semantics, ``retriever_metrics.py:140-158``) so
