@@ -634,6 +634,7 @@ def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
         patience=int(g.get("patience", 5)),
         dropout=float(g.get("dropout", 0.1)),
         cache_frozen_embed=bool(g.get("cache_frozen_embed", True)),
+        compute_dtype=str(g.get("compute_dtype", "float32")),
     )
 
 

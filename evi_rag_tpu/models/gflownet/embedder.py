@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from evi_rag_tpu.models.batches import AgentBatch
 from evi_rag_tpu.models.dde import build_node_struct_features
-from evi_rag_tpu.ops.nnfn import dense as _dense, layernorm as _layernorm, projector as _projector
+from evi_rag_tpu.ops.nnfn import dense as _dense, dense_split as _dense_split, layernorm as _layernorm, projector as _projector
 from evi_rag_tpu.ops.nnfn import gelu_exact as _gelu_exact
 
 
@@ -60,8 +60,12 @@ def _geometry_features(
     interaction = head_edge * r_ctx * tail_edge * nav_gate
     error_vec = head_edge + r_ctx - tail_edge
     dist = -jnp.sqrt(jnp.sum(error_vec * error_vec, axis=-1, keepdims=True) + 1e-12)
-    combined = jnp.concatenate([interaction, struct_ctx, error_vec, dist], axis=-1)
-    h = _gelu_exact(_layernorm(feats["state_norm"], _dense(feats["state_net_0"], combined)))
+    # combined = concat([interaction, struct_ctx, error_vec, dist]); split
+    # form matches the retriever train path (SplitInputDense) on the MXU.
+    h = _gelu_exact(_layernorm(
+        feats["state_norm"],
+        _dense_split(feats["state_net_0"], (interaction, struct_ctx, error_vec, dist)),
+    ))
     return _dense(feats["state_net_1"], h)
 
 

@@ -32,23 +32,30 @@ from evi_rag_tpu.ops.nnfn import gelu_exact as _gelu_exact
 class GFlowNetEdgePolicy(nn.Module):
     hidden_dim: int
     dropout: float = 0.1
+    # Mixed precision for the per-edge network (the rollout's HBM hot spot:
+    # [E, H] edge tensors and the [E, 2H] edge-head input, recomputed every
+    # step x rollout).  Matches the reference's Lightning 16-mixed training
+    # (configs/trainer/gpu.yaml); logits, log-probs, and everything the
+    # sampler/SubTB consumes stay f32.  Params are f32 either way.
+    compute_dtype: str = "float32"  # float32 | bfloat16
 
     def setup(self) -> None:
         h = self.hidden_dim
-        self.state_norm = nn.LayerNorm(name="state_norm", epsilon=1e-5)
-        self.edge_base_norm = nn.LayerNorm(name="edge_base_norm", epsilon=1e-5)
-        self.edge_base_dense = nn.Dense(h, name="edge_base_dense")
+        cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        self.state_norm = nn.LayerNorm(name="state_norm", epsilon=1e-5, dtype=cdtype)
+        self.edge_base_norm = nn.LayerNorm(name="edge_base_norm", epsilon=1e-5, dtype=cdtype)
+        self.edge_base_dense = nn.Dense(h, name="edge_base_dense", dtype=cdtype)
         self.edge_dropout = nn.Dropout(self.dropout)
-        self.attn_q = nn.Dense(h, use_bias=False, name="attn_q")
-        self.attn_k = nn.Dense(h, use_bias=False, name="attn_k")
-        self.attn_v = nn.Dense(h, use_bias=False, name="attn_v")
-        self.edge_head_norm = nn.LayerNorm(name="edge_head_norm", epsilon=1e-5)
-        self.edge_head_0 = nn.Dense(h, name="edge_head_0")
+        self.attn_q = nn.Dense(h, use_bias=False, name="attn_q", dtype=cdtype)
+        self.attn_k = nn.Dense(h, use_bias=False, name="attn_k", dtype=cdtype)
+        self.attn_v = nn.Dense(h, use_bias=False, name="attn_v", dtype=cdtype)
+        self.edge_head_norm = nn.LayerNorm(name="edge_head_norm", epsilon=1e-5, dtype=cdtype)
+        self.edge_head_0 = nn.Dense(h, name="edge_head_0", dtype=cdtype)
         self.edge_head_drop = nn.Dropout(self.dropout)
-        self.edge_head_1 = nn.Dense(1, name="edge_head_1", kernel_init=nn.initializers.zeros)
-        self.stop_head_norm = nn.LayerNorm(name="stop_head_norm", epsilon=1e-5)
-        self.stop_head_0 = nn.Dense(h, name="stop_head_0")
-        self.stop_head_1 = nn.Dense(1, name="stop_head_1", kernel_init=nn.initializers.zeros)
+        self.edge_head_1 = nn.Dense(1, name="edge_head_1", kernel_init=nn.initializers.zeros, dtype=cdtype)
+        self.stop_head_norm = nn.LayerNorm(name="stop_head_norm", epsilon=1e-5, dtype=cdtype)
+        self.stop_head_0 = nn.Dense(h, name="stop_head_0", dtype=cdtype)
+        self.stop_head_1 = nn.Dense(1, name="stop_head_1", kernel_init=nn.initializers.zeros, dtype=cdtype)
 
     def compute_edge_base(self, edge_tokens: jax.Array) -> jax.Array:
         """Step-invariant edge projection, hoisted out of the rollout loop
@@ -75,17 +82,30 @@ class GFlowNetEdgePolicy(nn.Module):
         q = self.attn_q(state_base)[edge_batch]          # [E, H]
         k = self.attn_k(edge_repr)
         v = self.attn_v(edge_repr)
-        att_logits = jnp.sum(q * k, axis=-1) / max(math.sqrt(self.hidden_dim), 1.0)
+        # Attention weights and the pooled context accumulate in f32: the
+        # softmax normalization is the one place bf16 rounding would leak
+        # into action probabilities beyond logit quantization.
+        att_logits = (
+            jnp.sum(q.astype(jnp.float32) * k.astype(jnp.float32), axis=-1)
+            / max(math.sqrt(self.hidden_dim), 1.0)
+        )
         att_w = segment_softmax(att_logits, edge_batch, num_graphs, mask=valid_edges_mask)
-        context = segment_sum(att_w[:, None] * v, edge_batch, num_graphs, mask=valid_edges_mask)
-        state_out = self.state_norm(state_tokens + context)
+        context = segment_sum(
+            att_w[:, None] * v.astype(jnp.float32),
+            edge_batch, num_graphs, mask=valid_edges_mask,
+        )
+        state_out = self.state_norm(
+            state_tokens.astype(jnp.float32) + context
+        ).astype(jnp.float32)
 
-        edge_in = jnp.concatenate([state_out[edge_batch], edge_repr], axis=-1)
+        edge_in = jnp.concatenate(
+            [state_out.astype(edge_repr.dtype)[edge_batch], edge_repr], axis=-1
+        )
         h = _gelu_exact(self.edge_head_0(self.edge_head_norm(edge_in)))
         h = self.edge_head_drop(h, deterministic=not train)
-        edge_logits = self.edge_head_1(h)[..., 0]
+        edge_logits = self.edge_head_1(h)[..., 0].astype(jnp.float32)
         edge_logits = jnp.where(valid_edges_mask, edge_logits, NEG_INF)
 
-        s = _gelu_exact(self.stop_head_0(self.stop_head_norm(state_out)))
-        stop_logits = self.stop_head_1(s)[..., 0]
+        s = _gelu_exact(self.stop_head_0(self.stop_head_norm(state_out.astype(edge_repr.dtype))))
+        stop_logits = self.stop_head_1(s)[..., 0].astype(jnp.float32)
         return edge_logits, stop_logits, state_out

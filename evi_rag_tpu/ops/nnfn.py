@@ -17,6 +17,33 @@ def dense(p: Any, x: jax.Array) -> jax.Array:
     return x @ p["kernel"] + p["bias"]
 
 
+def dense_split(p: Any, parts: tuple[jax.Array, ...]) -> jax.Array:
+    """``dense`` over a conceptual concat input, applied per kernel
+    row-slice with f32 accumulation and one rounding at the end.
+
+    Must mirror ``models/retriever.py::SplitInputDense`` exactly: the train
+    path computes state_net_0 this way, and on the MXU a single wide f32
+    contraction differs from the per-piece form at ~1e-3 (f32 matmuls lower
+    to bf16x3 passes whose error depends on the contraction grouping) — a
+    formulation mismatch between train and serve would break their score
+    parity at tolerances the tests (and users) rely on.
+    """
+    acc = p["bias"].astype(jnp.float32)
+    off = 0
+    kernel = p["kernel"]
+    for x in parts:
+        d = x.shape[-1]
+        k = kernel[off : off + d].astype(x.dtype)
+        acc = acc + jax.lax.dot_general(
+            x, k, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        off += d
+    if off != kernel.shape[0]:
+        raise ValueError(f"parts sum to {off} rows, kernel has {kernel.shape[0]}")
+    return acc.astype(parts[0].dtype)
+
+
 def gelu_exact(x: jax.Array) -> jax.Array:
     """Exact (erf) GELU -- the reference uses ``nn.GELU()`` (erf form,
     e.g. ``src/models/components/retriever.py:163,178``); jax's default is

@@ -34,7 +34,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from evi_rag_tpu.ops.nnfn import dense as _dense, gelu_exact as _gelu_exact, layernorm as _layernorm, projector as _projector
+from evi_rag_tpu.ops.nnfn import dense as _dense, dense_split as _dense_split, gelu_exact as _gelu_exact, layernorm as _layernorm, projector as _projector
 
 
 @jax.tree_util.register_dataclass
@@ -172,8 +172,12 @@ def _score_chunk(
     inter = h * r_ctx * t * nav
     err = h + r_ctx - t
     dist = -jnp.sqrt(jnp.sum((err * err).astype(jnp.float32), axis=-1, keepdims=True) + 1e-12)
-    combined = jnp.concatenate([inter, struct_ctx, err, dist.astype(dtype)], axis=-1)
-    z = _gelu_exact(_layernorm(feats["state_norm"], _dense(feats["state_net_0"], combined)))
+    # combined = concat([inter, struct_ctx, err, dist]); split form matches
+    # the training path's SplitInputDense bit-for-bit on the MXU.
+    z = _gelu_exact(_layernorm(
+        feats["state_norm"],
+        _dense_split(feats["state_net_0"], (inter, struct_ctx, err, dist.astype(dtype))),
+    ))
     z = _dense(feats["state_net_1"], z)
     return _dense(feats["score_head"], z)[..., 0].astype(jnp.float32)
 

@@ -72,6 +72,9 @@ class GFlowNetConfig:
     # memory proportional to the epoch's batch count — disable for very
     # large epochs or when per-epoch batch re-composition matters.
     cache_frozen_embed: bool = True
+    # Mixed precision for the policy's per-edge network (reference trains
+    # 16-mixed, configs/trainer/gpu.yaml); log-probs/SubTB/reward stay f32.
+    compute_dtype: str = "float32"  # float32 | bfloat16
 
     @property
     def actor(self) -> ActorConfig:
@@ -91,7 +94,10 @@ class GFlowNetModules:
 
 def build_modules(cfg: GFlowNetConfig) -> GFlowNetModules:
     return GFlowNetModules(
-        policy=GFlowNetEdgePolicy(hidden_dim=cfg.hidden_dim, dropout=cfg.dropout),
+        policy=GFlowNetEdgePolicy(
+            hidden_dim=cfg.hidden_dim, dropout=cfg.dropout,
+            compute_dtype=cfg.compute_dtype,
+        ),
         state_encoder=StateEncoder(
             hidden_dim=cfg.hidden_dim,
             max_steps=cfg.max_steps,

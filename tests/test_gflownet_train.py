@@ -258,6 +258,53 @@ def test_gfn_train_steps_reduce_loss(setup):
     assert valid_ref.sum() >= valid.sum()
 
 
+def test_bf16_policy_close_to_f32_and_trains(setup):
+    """The bf16 policy (reference 16-mixed capability, trainer/gpu.yaml) must
+    produce logits within bf16 quantization of the f32 policy on identical
+    params, keep log-probs f32, and still reduce the training loss."""
+    _, batch, bundle = setup
+    cfg32 = _cfg()
+    cfg16 = dataclasses.replace(cfg32, compute_dtype="bfloat16")
+    mods32, mods16 = build_modules(cfg32), build_modules(cfg16)
+    params = init_gflownet_params(cfg32, mods32, bundle, batch, seed=0)
+
+    from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch_frozen
+
+    emb = embed_agent_batch_frozen(bundle, batch)
+    edge_tokens = emb.edge_tokens + jnp.asarray(batch.edge_scores)[:, None] * 0.0
+    g = int(batch.graph.num_graphs)
+    state_tokens = jnp.asarray(
+        np.random.default_rng(3).normal(size=(g, EMB)), jnp.float32
+    )
+    valid = jnp.asarray(batch.graph.edge_mask)
+    pp = params["policy"]
+    out32 = mods32.policy.apply(pp, edge_tokens, state_tokens,
+                                batch.graph.edge_batch, valid)
+    out16 = mods16.policy.apply(pp, edge_tokens, state_tokens,
+                                batch.graph.edge_batch, valid)
+    for a, b in zip(out32, out16):
+        assert a.dtype == jnp.float32 and b.dtype == jnp.float32
+        fa, fb = np.asarray(a), np.asarray(b)
+        m = np.isfinite(fa)
+        scale = np.maximum(np.abs(fa[m]), 1.0)
+        assert np.max(np.abs(fa[m] - fb[m]) / scale) < 0.1
+
+    # bf16 end-to-end: a few train steps stay finite and reduce the loss.
+    params16 = init_gflownet_params(cfg16, mods16, bundle, batch, seed=0)
+    tx = setup_optimizer(cfg16.optimizer, params16)
+    state = TrainState(
+        params=params16, opt_state=jax.jit(tx.init)(params16),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+    )
+    step = make_gfn_train_step(mods16, tx, cfg16, bundle)
+    losses = []
+    for _ in range(6):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_state_dde_variant(setup):
     """use_state_dde adds struct tokens to the state without breaking training."""
     _, batch, bundle = setup
