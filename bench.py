@@ -430,7 +430,30 @@ def bench_gflownet_step():
             state, m = step(state, batch, fe)
         float(m["loss"])
         dt_cached = min(dt_cached, (time.perf_counter() - t1) / iters)
-    return 16 / dt, 16 / dt_cached
+
+    # bf16 policy variant (gflownet.compute_dtype=bfloat16; reference trains
+    # 16-mixed) on the cached-embed path.
+    import dataclasses as _dc
+
+    cfg16 = _dc.replace(cfg, compute_dtype="bfloat16")
+    mods16 = build_modules(cfg16)
+    params16 = init_gflownet_params(cfg16, mods16, bundle, batch, seed=0)
+    tx16 = setup_optimizer(cfg16.optimizer, params16)
+    state16 = TrainState(
+        params=params16, opt_state=jax.jit(tx16.init)(params16),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+    )
+    step16 = make_gfn_train_step(mods16, tx16, cfg16, bundle)
+    state16, m = step16(state16, batch, fe)
+    float(m["loss"])
+    dt16 = float("inf")
+    for _ in range(3):
+        t1 = time.perf_counter()
+        for _ in range(iters):
+            state16, m = step16(state16, batch, fe)
+        float(m["loss"])
+        dt16 = min(dt16, (time.perf_counter() - t1) / iters)
+    return 16 / dt, 16 / dt_cached, 16 / dt16
 
 
 def main():
@@ -537,9 +560,10 @@ def main():
         details["train_error"] = str(exc)
     try:
         _progress("gflownet step")
-        gfn_qps, gfn_qps_cached = bench_gflownet_step()
+        gfn_qps, gfn_qps_cached, gfn_qps_bf16 = bench_gflownet_step()
         details["gflownet_step_graphs_per_sec"] = round(gfn_qps, 2)
         details["gflownet_step_graphs_per_sec_cached_embed"] = round(gfn_qps_cached, 2)
+        details["gflownet_step_graphs_per_sec_bf16_policy"] = round(gfn_qps_bf16, 2)
     except Exception as exc:
         details["gfn_error"] = str(exc)
     print(json.dumps(details), file=sys.stderr)
