@@ -37,43 +37,85 @@ def _scores(q: jax.Array, chunk: jax.Array, metric: str, chunk_sq: jax.Array | N
     return s
 
 
-@partial(jax.jit, static_argnames=("k", "chunk", "metric", "dtype"))
+# One-shot score-matrix budget: [B, V] f32 below this runs as a single
+# matmul + one selection (v5e has 16 GB HBM; 512 MB leaves the table and
+# callers' arrays comfortable headroom).
+_ONESHOT_BYTES = 512 * 1024 * 1024
+
+
+@partial(jax.jit, static_argnames=("k", "chunk", "metric", "dtype", "method"))
 def knn_topk(
     queries: jax.Array,   # [B, D]
     table: jax.Array,     # [V, D]
     *,
     k: int,
-    chunk: int = 8192,
+    chunk: int = 65536,
     metric: str = "dot",
     dtype=jnp.bfloat16,
+    method: str = "exact",
 ) -> tuple[jax.Array, jax.Array]:
-    """Exact top-k: ([B, k] scores, [B, k] table row ids)."""
+    """Top-k: ([B, k] scores, [B, k] table row ids).
+
+    The matmul is bandwidth-bound (~0.7 ms for 262k x 1024 bf16 on a v5e);
+    the SELECTION dominates — ``lax.top_k`` lowers to a sort (~11 ms over
+    [64, 262k]).  Measured @262k x 1024, B=64, k=100:
+
+    - ``method="exact"`` (default): one-shot matmul + single ``top_k`` when
+      the [B, V] f32 score matrix fits ``_ONESHOT_BYTES``, else a chunked
+      scan with a running merge.  26 ms at the old chunk=8192 defaults ->
+      12 ms one-shot (15 ms chunked at 65536).
+    - ``method="approx"``: ``lax.approx_max_k`` (the TPU-KNN paper's
+      PartialReduce operator, arXiv:2206.14286, recall_target=0.95) — 7 ms.
+      Entity-linking/seed-expansion callers that tolerate ~5% tail loss
+      should prefer this at scale.
+    """
     if metric not in _METRICS:
         raise ValueError(f"metric must be one of {_METRICS}")
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be exact|approx, got {method!r}")
     v, d = table.shape
     b = queries.shape[0]
-    num_chunks = -(-v // chunk)
-    pad = num_chunks * chunk - v
     tbl = _prep(table, metric, dtype)
-    tbl = jnp.pad(tbl, ((0, pad), (0, 0)))
     q = queries.astype(dtype)
     if metric == "cosine":
         q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+    neg = jnp.float32(-jnp.inf)
+
+    def select(s):  # [B, n] scores -> ([B, k] vals, [B, k] positions)
+        if method == "approx":
+            return jax.lax.approx_max_k(s, k, recall_target=0.95)
+        return jax.lax.top_k(s, k)
+
+    if b * v * 4 <= _ONESHOT_BYTES:
+        sq = jnp.sum(tbl.astype(jnp.float32) ** 2, axis=-1) if metric == "l2" else None
+        s = _scores(q, tbl, metric, sq)
+        top_v, top_i = select(s)
+        return top_v, top_i.astype(jnp.int32)
+
+    num_chunks = -(-v // chunk)
+    pad = num_chunks * chunk - v
+    tbl = jnp.pad(tbl, ((0, pad), (0, 0)))
     sq = jnp.sum(tbl.astype(jnp.float32) ** 2, axis=-1) if metric == "l2" else None
 
     tiles = tbl.reshape(num_chunks, chunk, d)
     sq_tiles = sq.reshape(num_chunks, chunk) if sq is not None else jnp.zeros((num_chunks, chunk))
     valid = (jnp.arange(num_chunks * chunk) < v).reshape(num_chunks, chunk)
-    neg = jnp.float32(-jnp.inf)
 
     def body(carry, xs):
         top_v, top_i = carry
         tile, sq_t, ok, base = xs
         s = _scores(q, tile, metric, sq_t)
         s = jnp.where(ok[None, :], s, neg)
-        ids = base + jnp.arange(chunk, dtype=jnp.int32)
+        ids = jnp.broadcast_to((base + jnp.arange(chunk, dtype=jnp.int32))[None, :], (b, chunk))
+        if method == "approx":
+            # Approximate only the chunk-local selection; the cross-chunk
+            # merge of 2k entries stays exact so recall loss never compounds
+            # on the running buffer.
+            cv, cp = jax.lax.approx_max_k(s, k, recall_target=0.95)
+            s = cv
+            ids = jnp.take_along_axis(ids, cp, axis=1)
         all_v = jnp.concatenate([top_v, s], axis=1)
-        all_i = jnp.concatenate([top_i, jnp.broadcast_to(ids[None, :], (b, chunk))], axis=1)
+        all_i = jnp.concatenate([top_i, ids], axis=1)
         new_v, pos = jax.lax.top_k(all_v, k)
         return (new_v, jnp.take_along_axis(all_i, pos, axis=1)), None
 

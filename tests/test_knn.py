@@ -57,6 +57,51 @@ def test_knn_matches_bruteforce(data, metric):
     )
 
 
+@pytest.mark.parametrize("metric", ["dot", "cosine", "l2"])
+def test_knn_chunked_matches_oneshot(data, metric, monkeypatch):
+    """The chunked-scan path (forced by a zero one-shot budget) must return
+    the same top-k as the one-shot matmul + single selection path."""
+    import evi_rag_tpu.ops.knn as knn_mod
+
+    q, t = data
+    v1, i1 = knn_topk(jnp.asarray(q), jnp.asarray(t), k=K, metric=metric,
+                      dtype=jnp.float32)
+    monkeypatch.setattr(knn_mod, "_ONESHOT_BYTES", 0)
+    v2, i2 = knn_mod.knn_topk.__wrapped__(
+        jnp.asarray(q), jnp.asarray(t), k=K, chunk=256, metric=metric,
+        dtype=jnp.float32,
+    )
+    for b in range(B):
+        assert set(np.asarray(i1[b]).tolist()) == set(np.asarray(i2[b]).tolist())
+    # ids are the exactness contract (asserted above); values differ by f32
+    # reassociation between the one-shot and per-chunk matmul groupings.
+    np.testing.assert_allclose(np.sort(np.asarray(v1)), np.sort(np.asarray(v2)),
+                               rtol=5e-3 if _ON_TPU else 1e-3)
+
+
+def test_knn_approx_overlaps_exact(data, monkeypatch):
+    """approx (lax.approx_max_k, TPU-KNN's operator at recall_target=0.95)
+    must recover the bulk of the exact top-k, in both one-shot and chunked
+    form (the chunked path's cross-chunk 2k merge stays exact)."""
+    import evi_rag_tpu.ops.knn as knn_mod
+
+    q, t = data
+    _, exact = knn_topk(jnp.asarray(q), jnp.asarray(t), k=K, metric="cosine",
+                        dtype=jnp.float32)
+    _, approx = knn_topk(jnp.asarray(q), jnp.asarray(t), k=K, metric="cosine",
+                         dtype=jnp.float32, method="approx")
+    monkeypatch.setattr(knn_mod, "_ONESHOT_BYTES", 0)
+    _, approx_c = knn_mod.knn_topk.__wrapped__(
+        jnp.asarray(q), jnp.asarray(t), k=K, chunk=256, metric="cosine",
+        dtype=jnp.float32, method="approx",
+    )
+    for got in (approx, approx_c):
+        for b in range(B):
+            hit = len(set(np.asarray(exact[b]).tolist())
+                      & set(np.asarray(got[b]).tolist()))
+            assert hit >= int(0.8 * K)
+
+
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_knn_sharded_matches_single(data):
     q, t = data
