@@ -482,11 +482,24 @@ def serve_split(
             dispatch_s += time.perf_counter() - td
 
             t2 = time.perf_counter()
-            for key, vals, ids in pend:
-                vals_np = np.asarray(vals)  # one fetch per bucket
-                ids_np = np.asarray(ids)
-                for (idxs, group), v, i_ in zip(metas[key], vals_np, ids_np):
-                    drain((idxs, group, v, i_))
+            # ONE fetch per window, not per bucket: each np.asarray pays a
+            # full tunnel round trip, so buckets' [B, G, k] results concat
+            # on device (bytes are tiny -- k floats+ids per question) and
+            # cross the link together.
+            all_v = np.asarray(
+                jnp.concatenate([v.reshape(-1, v.shape[-1]) for _, v, _ in pend])
+            )
+            all_i = np.asarray(
+                jnp.concatenate([i_.reshape(-1, i_.shape[-1]) for _, _, i_ in pend])
+            )
+            off = 0
+            for key, vals, _ in pend:
+                b_pad, g_per = vals.shape[0], vals.shape[1]
+                for gi, (idxs, group) in enumerate(metas[key]):
+                    row = off + gi * g_per
+                    drain((idxs, group, all_v[row : row + g_per],
+                           all_i[row : row + g_per]))
+                off += b_pad * g_per
             drain_s += time.perf_counter() - t2
     else:
         # DP-sharded path: per-group device_put with the question axis
