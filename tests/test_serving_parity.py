@@ -184,6 +184,58 @@ def test_serve_split_fused_routing_matches_xla():
             assert abs(ref_s[e] - got_s[e]) < 0.01 + 0.01 * abs(ref_s[e])
 
 
+def test_serve_split_multi_bucket_drain_routing():
+    """Wildly varied graph sizes force several (m_pad, n_pad) buckets in one
+    window; the single-fetch drain must route each group's [G, k] slice back
+    to the right questions (regression for the concat-offset bookkeeping)."""
+    from evi_rag_tpu.serving import serve_split
+
+    dss = [
+        make_synthetic_dataset(num_samples=5, emb_dim=EMB, min_nodes=lo,
+                               max_nodes=hi, seed=31 + lo)
+        for lo, hi in ((8, 10), (24, 30), (60, 80))
+    ]
+    # One table set: re-point every sample at the first dataset's tables by
+    # rebuilding with shared embeddings sized for the largest ids.
+    base = dss[0]
+    samples = []
+    qid = 0
+    import dataclasses as _dc
+
+    for ds in dss:
+        for s in ds.samples:
+            samples.append(_dc.replace(s, question_id=qid, sample_id=f"s{qid}"))
+            qid += 1
+    n_q = len(samples)
+    rng = np.random.default_rng(0)
+    q_emb = rng.normal(size=(n_q, EMB)).astype(np.float32)
+    ent = base.entity_emb
+    rel = base.relation_emb
+
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    bucket = Bucket(graphs=2, nodes=128, edges=512)
+    b0 = collate_retriever(
+        samples[:1], entity_emb=ent, relation_emb=rel, question_emb=q_emb,
+        bucket=bucket,
+    )
+    params = jax.jit(model.init)(jax.random.key(5), b0)
+    bundle = export_retriever_features(params["params"], model.parity_meta())
+
+    kw = dict(entity_emb=ent, relation_emb=rel, question_emb=q_emb,
+              k=8, num_rounds=2, num_reverse_rounds=2, dtype=jnp.float32)
+    # group_size 2 over 15 samples of 3 very different size classes ->
+    # multiple buckets, multiple groups per bucket, a trailing partial group.
+    res_multi, _ = serve_split(bundle, samples, group_size=2, **kw)
+    # group_size 1: every question alone (different bucket layout, same math).
+    res_solo, _ = serve_split(bundle, samples, group_size=1, **kw)
+    assert len(res_multi) == len(res_solo) == n_q
+    solo = {r.sample_id: r for r in res_solo}
+    for r in res_multi:
+        want = solo[r.sample_id]
+        np.testing.assert_array_equal(r.edge_ids, want.edge_ids)
+        np.testing.assert_allclose(r.scores, want.scores, rtol=1e-5, atol=1e-6)
+
+
 def test_serve_split_float32_never_routes_to_bf16_kernel():
     """An explicit float32 request must keep the XLA scorer even for buckets
     above fused_threshold: the fused Pallas kernel computes in bf16
