@@ -64,7 +64,11 @@ def _geometry_features(
     # form matches the retriever train path (SplitInputDense) on the MXU.
     h = _gelu_exact(_layernorm(
         feats["state_norm"],
-        _dense_split(feats["state_net_0"], (interaction, struct_ctx, error_vec, dist)),
+        _dense_split(
+            feats["state_net_0"],
+            (interaction, struct_ctx, error_vec, dist),
+            jnp.float32,  # frozen-feature path is f32 (reference embedder)
+        ),
     ))
     return _dense(feats["state_net_1"], h)
 

@@ -40,6 +40,10 @@ class GFlowNetEdgePolicy(nn.Module):
     compute_dtype: str = "float32"  # float32 | bfloat16
 
     def setup(self) -> None:
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be float32|bfloat16, got {self.compute_dtype!r}"
+            )
         h = self.hidden_dim
         cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         self.state_norm = nn.LayerNorm(name="state_norm", epsilon=1e-5, dtype=cdtype)

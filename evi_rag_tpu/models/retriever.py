@@ -147,6 +147,10 @@ class Retriever(nn.Module):
             raise ValueError(f"invalid direction_mode {self.direction_mode!r}")
         if self.num_topics != 2:
             raise ValueError("num_topics must be 2 (seed vs non-seed)")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"compute_dtype must be float32|bfloat16, got {self.compute_dtype!r}"
+            )
         d, h = self.emb_dim, self.hidden_dim
         cdtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         self.entity_proj = EmbeddingProjector(d, name="entity_proj")

@@ -4,9 +4,11 @@ BASELINE.json names "exact kNN over the KG embedding table as tiled
 dot-product with streaming top-k across the ICI mesh" as a build target
 (used for entity linking / seed expansion at Freebase scale).  Design follows
 the TPU-KNN recipe (arxiv 2206.14286): the score phase is a pure [B, D] x
-[D, C] matmul per table tile -- peak-FLOP/s MXU work -- and the top-k phase
-is a cheap running merge over per-tile results, so the sort never touches
-the full [B, V] score matrix (O(chunk + k) live memory).
+[D, C] matmul -- peak-FLOP/s MXU work -- and selection is the actual cost
+(``lax.top_k`` lowers to a sort).  Small problems (score matrix + sort
+temporaries within ``_ONESHOT_BYTES``) run as ONE matmul + one selection;
+beyond that a chunked scan with a running merge keeps live memory at
+O(chunk + k).  ``chunk`` only affects the scanned fallback.
 
 Metrics: dot (MIPS), cosine, or negative-L2.  ``knn_topk_sharded`` shards
 the table axis over a mesh: each device keeps a local top-k and the merge is
@@ -37,9 +39,10 @@ def _scores(q: jax.Array, chunk: jax.Array, metric: str, chunk_sq: jax.Array | N
     return s
 
 
-# One-shot score-matrix budget: [B, V] f32 below this runs as a single
-# matmul + one selection (v5e has 16 GB HBM; 512 MB leaves the table and
-# callers' arrays comfortable headroom).
+# One-shot live-memory budget: the [B, V] f32 score matrix PLUS the sort
+# temporaries lax.top_k materializes (a value copy + an int32 index array,
+# ~3x the matrix) must fit.  512 MB keeps worst-case one-shot residency
+# well under the 16 GB v5e HBM even next to a large resident table.
 _ONESHOT_BYTES = 512 * 1024 * 1024
 
 
@@ -86,7 +89,7 @@ def knn_topk(
             return jax.lax.approx_max_k(s, k, recall_target=0.95)
         return jax.lax.top_k(s, k)
 
-    if b * v * 4 <= _ONESHOT_BYTES:
+    if 3 * b * v * 4 <= _ONESHOT_BYTES:  # 3x: scores + top_k's value/index temps
         sq = jnp.sum(tbl.astype(jnp.float32) ** 2, axis=-1) if metric == "l2" else None
         s = _scores(q, tbl, metric, sq)
         top_v, top_i = select(s)

@@ -17,7 +17,7 @@ def dense(p: Any, x: jax.Array) -> jax.Array:
     return x @ p["kernel"] + p["bias"]
 
 
-def dense_split(p: Any, parts: tuple[jax.Array, ...]) -> jax.Array:
+def dense_split(p: Any, parts: tuple[jax.Array, ...], dtype: Any) -> jax.Array:
     """``dense`` over a conceptual concat input, applied per kernel
     row-slice with f32 accumulation and one rounding at the end.
 
@@ -26,14 +26,18 @@ def dense_split(p: Any, parts: tuple[jax.Array, ...]) -> jax.Array:
     contraction differs from the per-piece form at ~1e-3 (f32 matmuls lower
     to bf16x3 passes whose error depends on the contraction grouping) — a
     formulation mismatch between train and serve would break their score
-    parity at tolerances the tests (and users) rely on.
+    parity at tolerances the tests (and users) rely on.  ``dtype`` is the
+    compute dtype EVERY part and kernel slice is cast to (SplitInputDense's
+    ``self.dtype``); parts may arrive mixed (f32 nav-gated products next to
+    bf16 geometry) and per-part dtypes would silently diverge from training.
     """
     acc = p["bias"].astype(jnp.float32)
     off = 0
     kernel = p["kernel"]
     for x in parts:
         d = x.shape[-1]
-        k = kernel[off : off + d].astype(x.dtype)
+        k = kernel[off : off + d].astype(dtype)
+        x = x.astype(dtype)
         acc = acc + jax.lax.dot_general(
             x, k, (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -41,7 +45,7 @@ def dense_split(p: Any, parts: tuple[jax.Array, ...]) -> jax.Array:
         off += d
     if off != kernel.shape[0]:
         raise ValueError(f"parts sum to {off} rows, kernel has {kernel.shape[0]}")
-    return acc.astype(parts[0].dtype)
+    return acc.astype(dtype)
 
 
 def gelu_exact(x: jax.Array) -> jax.Array:

@@ -176,7 +176,9 @@ def _score_chunk(
     # the training path's SplitInputDense bit-for-bit on the MXU.
     z = _gelu_exact(_layernorm(
         feats["state_norm"],
-        _dense_split(feats["state_net_0"], (inter, struct_ctx, err, dist.astype(dtype))),
+        _dense_split(
+            feats["state_net_0"], (inter, struct_ctx, err, dist), dtype
+        ),
     ))
     z = _dense(feats["state_net_1"], z)
     return _dense(feats["score_head"], z)[..., 0].astype(jnp.float32)

@@ -38,11 +38,23 @@ def _brute(q, t, metric):
     return -((q[:, None, :] - t[None, :, :]) ** 2).sum(-1)
 
 
+@pytest.mark.parametrize("path", ["oneshot", "chunked"])
 @pytest.mark.parametrize("metric", ["dot", "cosine", "l2"])
-def test_knn_matches_bruteforce(data, metric):
+def test_knn_matches_bruteforce(data, metric, path, monkeypatch):
+    """Both the one-shot and the chunked-scan path verify directly against
+    the numpy brute-force oracle (not just against each other)."""
+    import evi_rag_tpu.ops.knn as knn_mod
+
     q, t = data
-    vals, ids = knn_topk(jnp.asarray(q), jnp.asarray(t), k=K, chunk=256, metric=metric,
-                         dtype=jnp.float32)
+    if path == "chunked":
+        monkeypatch.setattr(knn_mod, "_ONESHOT_BYTES", 0)
+        vals, ids = knn_mod.knn_topk.__wrapped__(
+            jnp.asarray(q), jnp.asarray(t), k=K, chunk=256, metric=metric,
+            dtype=jnp.float32,
+        )
+    else:
+        vals, ids = knn_topk(jnp.asarray(q), jnp.asarray(t), k=K, metric=metric,
+                             dtype=jnp.float32)
     scores = _brute(q, t, metric)
     want_ids = np.argsort(-scores, axis=1)[:, :K]
     got = np.asarray(ids)
