@@ -96,12 +96,16 @@ def edge_recall_at_k(
     ranks = edge_ranks_in_graph(scores, gb.edge_batch, gb.edge_ptr, subset_mask=emask)
     pos = (labels > 0.5) & emask
     pos_count = segment_sum(pos.astype(jnp.float32), gb.edge_batch, gb.num_graphs)
+    edge_count = segment_sum(emask.astype(jnp.float32), gb.edge_batch, gb.num_graphs)
     out: dict[str, jax.Array] = {}
     for k in ks:
         in_topk = pos & (ranks < k)
         hits = segment_sum(in_topk.astype(jnp.float32), gb.edge_batch, gb.num_graphs)
         out[f"recall@{k}"] = hits / jnp.maximum(pos_count, _COUNT_EPS)
-    valid = gb.graph_mask
+    # Graphs with no (subset) edges are skipped by the reference, not counted
+    # as recall 0 (``retriever_metrics.py:125-131``: an empty edge slice is
+    # ``continue``d before ``graph_count`` increments).
+    valid = gb.graph_mask & (edge_count > 0)
     if require_positive:
         valid = valid & (pos_count > 0)
     out["graph_valid"] = valid
@@ -246,7 +250,10 @@ def answer_reachability_at_k(
     hits = jax.vmap(reach_for_k)(karr)  # [K, G]
     has_start = segment_sum(batch.node_is_q.astype(jnp.float32), gb.node_batch, gb.num_graphs) > 0
     has_answer = segment_sum(batch.node_is_a.astype(jnp.float32), gb.node_batch, gb.num_graphs) > 0
-    valid = has_start & has_answer & gb.graph_mask
+    # Edgeless graphs don't enter the reference denominator either
+    # (``reachability.py:144-146``: num_edges <= 0 -> graph yields None).
+    has_edges = segment_sum(gb.edge_mask.astype(jnp.float32), gb.edge_batch, gb.num_graphs) > 0
+    valid = has_start & has_answer & has_edges & gb.graph_mask
     out = {f"reachability@{k}": hits[i] & valid for i, k in enumerate(ks)}
     out["graph_valid"] = valid
     return out
