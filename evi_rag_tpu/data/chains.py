@@ -73,8 +73,10 @@ def _oriented_adjacency(
             adj[t].append(OrientedEdge(eid, t, h, h, t, int(r), float(s), DIRECTION_BACKWARD))
     for lst in adj:
         lst.sort(key=lambda e: (-e.score, e.edge_id, e.direction))
-        if max_branch_per_node is not None:
-            del lst[max(max_branch_per_node, 0):]
+        # Negative branch limits are ignored, exactly as the reference does
+        # (``bfs_chain_builder.py:188-191``: ``if keep >= 0: del edges[keep:]``).
+        if max_branch_per_node is not None and max_branch_per_node >= 0:
+            del lst[max_branch_per_node:]
     return adj
 
 

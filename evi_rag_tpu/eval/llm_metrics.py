@@ -80,8 +80,12 @@ def parse_prediction(raw: Any) -> list[str]:
 
 
 def answers_match(pred: str, gold: str) -> bool:
+    # Exact reference semantics (``llm_metrics.py:79-80``): equality OR
+    # gold-substring-of-prediction, with NO empty-gold guard — a gold whose
+    # normalization is empty (e.g. "the") matches every prediction.  Kept
+    # verbatim so published numbers are comparable.
     p, g = normalize_answer(pred), normalize_answer(gold)
-    return p == g or (g != "" and g in p)
+    return p == g or g in p
 
 
 def _greedy_prf(preds: list[str], golds: list[str]) -> tuple[float, float, float]:
@@ -227,6 +231,20 @@ _ANSWER_METRIC_NAMES = {
 }
 
 
+def _as_int_list(values: Any) -> list[int]:
+    """Reference ``_as_int_list`` (``llm_metrics.py:152-158``): lists keep
+    int-coercible entries (None dropped), scalars coerce to a single-int
+    list, anything un-coercible counts as empty."""
+    if values is None:
+        return []
+    if isinstance(values, (list, tuple)):
+        return [int(v) for v in values if v is not None]
+    try:
+        return [int(values)]
+    except (TypeError, ValueError):
+        return []
+
+
 def _require_bool(value: Any, name: str, sample_id: str) -> bool:
     if isinstance(value, bool):
         return value
@@ -270,9 +288,7 @@ def evaluate_predictions(predictions: Iterable[dict[str, Any]]) -> dict[str, flo
                 raise ValueError(f"missing {field} for id={sid}")
         hit_set = _require_bool(item["hit_set"], "hit_set", sid)
         hit_vis = _require_bool(item["hit_vis"], "hit_vis", sid)
-        visible = item["visible_edge_ids"] or []
-        if not isinstance(visible, (list, tuple)):
-            visible = [visible]
+        visible = _as_int_list(item["visible_edge_ids"])
         kwargs = dict(
             score_f1=score["f1"],
             hit_set=hit_set,
