@@ -468,10 +468,14 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     settings = AgentSettings(
         edge_top_k=int(ag.get("edge_top_k", 500)),
         max_hops=int(ag.get("max_hops", 3)),
+        apply_hop_filter=bool(ag.get("apply_hop_filter", False)),
         score_mode=str(ag.get("score_mode", "node_softmax")),
         allow_empty_answer=bool(ag.get("allow_empty_answer", True)),
         start_keep_ratio=float(ag.get("start_keep_ratio", 0.25)),
         start_min_edges=int(ag.get("start_min_edges", 1)),
+        start_max_edges=(
+            int(ag["start_max_edges"]) if ag.get("start_max_edges") is not None else None
+        ),
     )
     eval_step = make_eval_step(model, tcfg)
     per_batch = int(e.get("batch_size", 8))

@@ -9,8 +9,11 @@ g_agent_builder.py:116-724``).  Per question subgraph:
 2. select the union of the global top-k edges (``:640-652``) and per-start-
    node degree-proportional edges (ceil(deg*ratio) clamped to
    [min, max], ``:654-724``);
-3. optional hop filter: keep edges within ``max_hops`` undirected BFS radius
-   of the start set;
+3. optional hop filter (``apply_hop_filter``, default off): keep edges within
+   ``max_hops`` undirected BFS radius of the start set.  The reference
+   *declares* this behavior (``GAgentSettings.max_hops``, ``:41``) but its
+   builder never applies it -- ``max_hops`` only flows into metadata and the
+   BFS-chain length -- so parity artifacts require the filter off;
 4. dedup by global (h, r, t) with max-score/max-label aggregation
    (``:338-364``), re-index nodes, resolve start/answer locals;
 5. questions whose answers fall outside the selected subgraph become *dummy
@@ -43,10 +46,15 @@ _PROB_EPS = 1e-6
 class AgentSettings:
     edge_top_k: int = 500
     max_hops: int = 3
+    # The reference builder never applies the hop filter (max_hops is
+    # metadata + BFS-chain length only); opt in explicitly to prune.
+    apply_hop_filter: bool = False
     score_temperature: float = 1.0
     score_bias: float = 0.0
     start_keep_ratio: float = 0.25
     start_min_edges: int = 1
+    # None defaults to edge_top_k, the reference's ``__post_init__`` rule
+    # (``g_agent_builder.py:73-76``).
     start_max_edges: int | None = None
     score_mode: str = SCORE_MODE_NODE_SOFTMAX
     allow_empty_answer: bool = False
@@ -57,6 +65,8 @@ class AgentSettings:
             raise ValueError("edge_top_k must be > 0")
         if self.max_hops < 0:
             raise ValueError("max_hops must be >= 0")
+        if self.start_max_edges is None:
+            object.__setattr__(self, "start_max_edges", int(self.edge_top_k))
         if self.score_temperature <= 0:
             raise ValueError("score_temperature must be positive")
         if not 0.0 <= self.start_keep_ratio <= 1.0:
@@ -147,21 +157,29 @@ class AgentSample:
 def node_softmax_logit(
     scores: np.ndarray, heads: np.ndarray, tails: np.ndarray, num_nodes: int
 ) -> np.ndarray:
-    """logit(0.5 * (softmax_by_head + softmax_by_tail)) score calibration."""
+    """logit(0.5 * (softmax_by_head + softmax_by_tail)) score calibration.
+
+    Computed in float32 end-to-end like the reference's torch version
+    (``g_agent_builder.py:596-629``): near-saturated probabilities round to
+    1.0 in f32 and hit the logit clamp, so a float64 evaluation would emit
+    different cached scores for the same inputs."""
     if scores.size == 0:
         return scores
+    scores = scores.astype(np.float32)
 
     def endpoint_prob(idx: np.ndarray) -> np.ndarray:
-        mx = np.full(num_nodes, -np.inf)
+        mx = np.full(num_nodes, -np.inf, dtype=np.float32)
         np.maximum.at(mx, idx, scores)
         ex = np.exp(scores - mx[idx])
-        sm = np.zeros(num_nodes)
+        sm = np.zeros(num_nodes, dtype=np.float32)
         np.add.at(sm, idx, ex)
-        return ex / np.maximum(sm[idx], _PROB_EPS)
+        return ex / np.maximum(sm[idx], np.float32(_PROB_EPS))
 
-    prob = 0.5 * (endpoint_prob(heads.astype(np.int64)) + endpoint_prob(tails.astype(np.int64)))
-    prob = np.clip(prob, _PROB_EPS, 1.0 - _PROB_EPS)
-    return (np.log(prob) - np.log1p(-prob)).astype(np.float32)
+    prob = np.float32(0.5) * (
+        endpoint_prob(heads.astype(np.int64)) + endpoint_prob(tails.astype(np.int64))
+    )
+    prob = np.clip(prob, np.float32(_PROB_EPS), np.float32(1.0) - np.float32(_PROB_EPS))
+    return np.log(prob) - np.log1p(-prob)
 
 
 def select_topk_edges(scores: np.ndarray, k: int) -> np.ndarray:
@@ -279,7 +297,7 @@ def build_agent_sample(
     if env_edges.size == 0:
         return None
 
-    if settings.max_hops > 0:
+    if settings.apply_hop_filter and settings.max_hops > 0:
         keep = _hop_filter(
             heads[env_edges], tails[env_edges], start_locals_ret, num_nodes, settings.max_hops
         )

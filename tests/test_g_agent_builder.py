@@ -111,7 +111,8 @@ def test_hop_filter_prunes_far_edges():
     kw = _sample_kwargs()
     # max_hops=1: only edges touching the start component within 1 hop remain.
     s = build_agent_sample(
-        settings=AgentSettings(edge_top_k=5, max_hops=1, score_mode="logits", allow_empty_answer=True),
+        settings=AgentSettings(edge_top_k=5, max_hops=1, apply_hop_filter=True,
+                               score_mode="logits", allow_empty_answer=True),
         **kw,
     )
     assert s is not None
