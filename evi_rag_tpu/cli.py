@@ -568,6 +568,8 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                         rels=np.asarray(s.edge_relations),
                         tails_global=ent_ids[s.edge_index[1]],
                         k_values=tcfg.k_values,
+                        labels=s.edge_labels.astype(np.float32),
+                        answer_entity_ids=ans_ids,
                     )
                 )
             i += per_batch

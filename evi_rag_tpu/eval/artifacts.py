@@ -181,23 +181,50 @@ def topk_record_for_sample(
     rels: np.ndarray,
     tails_global: np.ndarray,
     k_values: Sequence[int],
+    labels: np.ndarray | None = None,
+    answer_entity_ids: np.ndarray | None = None,
+    question: str | None = None,
+    id2entity: dict[int, str] | None = None,
+    id2relation: dict[int, str] | None = None,
 ) -> dict[str, Any]:
+    """Per-edge records use the reference writer's schema
+    (``retriever_topk_edge_writer.py:332-350``): head/relation/tail entity
+    ids + optional vocab texts, score, label, 1-based rank, fwd/bwd logits.
+    ``edge_idx`` (the sample-local edge id) and ``num_edges`` are additive
+    extras a reference consumer can ignore."""
     order = np.argsort(-scores, kind="stable")
-    out: dict[str, Any] = {"sample_id": sample_id, "num_edges": int(scores.shape[0]), "triplets_by_k": {}}
+
+    def text(mapping: dict[int, str] | None, key: int) -> str | None:
+        return None if mapping is None else mapping.get(key)
+
+    out: dict[str, Any] = {
+        "sample_id": sample_id,
+        "question": question,
+        "num_edges": int(scores.shape[0]),
+        "triplets_by_k": {},
+        "answer_entity_ids": (
+            [int(a) for a in answer_entity_ids] if answer_entity_ids is not None else []
+        ),
+    }
     for k in k_values:
         kk = min(int(k), order.size)
         idx = order[:kk]
         out["triplets_by_k"][str(int(k))] = [
             {
                 "edge_idx": int(i),
-                "head": int(heads_global[i]),
-                "relation": int(rels[i]),
-                "tail": int(tails_global[i]),
+                "head_entity_id": int(heads_global[i]),
+                "relation_id": int(rels[i]),
+                "tail_entity_id": int(tails_global[i]),
+                "head_text": text(id2entity, int(heads_global[i])),
+                "relation_text": text(id2relation, int(rels[i])),
+                "tail_text": text(id2entity, int(tails_global[i])),
                 "score": float(scores[i]),
+                "label": float(labels[i]) if labels is not None else None,
+                "rank": int(rank + 1),
                 "logit_fwd": float(logits_fwd[i]),
                 "logit_bwd": float(logits_bwd[i]),
             }
-            for i in idx
+            for rank, i in enumerate(idx)
         ]
     return out
 

@@ -58,6 +58,17 @@ def test_full_pipeline_synthetic(tmp_path):
     assert m2["validation/num_agent_samples"] > 0
     assert (pathlib.Path(art) / "g_agent" / "validation" / "manifest.json").exists()
     assert (pathlib.Path(art) / "eval_retriever" / "validation.manifest.json").exists()
+    # Top-k edge records carry the reference writer's per-edge schema
+    # (retriever_topk_edge_writer.py:332-350).
+    topk_line = json.loads(
+        (pathlib.Path(art) / "eval_retriever" / "validation.jsonl")
+        .read_text().splitlines()[0]
+    )
+    assert "triplets_by_k" in topk_line and "answer_entity_ids" in topk_line
+    first_k = next(iter(topk_line["triplets_by_k"].values()))
+    assert {"head_entity_id", "relation_id", "tail_entity_id", "score",
+            "label", "rank", "logit_fwd", "logit_bwd"} <= set(first_k[0])
+    assert first_k[0]["rank"] == 1
     assert 0.0 <= m2["validation/edge/recall@10"] <= 1.0
 
     # 2b. serve: index-and-query engine over the same split + ckpt
