@@ -25,6 +25,7 @@ dir (the reference's Hydra run-dir convention).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import pathlib
 import sys
@@ -479,6 +480,10 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     )
     eval_step = make_eval_step(model, tcfg)
     per_batch = int(e.get("batch_size", 8))
+    # Vocab texts + question strings for the top-k artifact's reference
+    # schema (null when the dataset carries no normalized vocab/questions).
+    id2e, id2r = _vocab_maps(cfg)
+    questions = _question_lookup(cfg)
 
     all_metrics: dict[str, Any] = {}
     for split in splits:
@@ -570,6 +575,9 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                         k_values=tcfg.k_values,
                         labels=s.edge_labels.astype(np.float32),
                         answer_entity_ids=ans_ids,
+                        question=questions.get(s.sample_id, (None, None))[0],
+                        id2entity=id2e or None,
+                        id2relation=id2r or None,
                     )
                 )
             i += per_batch
@@ -594,7 +602,10 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             continue
         save_agent_store(
             agent_samples, artifacts_dir / "g_agent" / split, split=split,
-            settings_meta={"edge_top_k": settings.edge_top_k, "max_hops": settings.max_hops},
+            # Full settings provenance (the reference's settings.to_metadata,
+            # g_agent_builder.py:89-92): runs differing in any
+            # behavior-affecting knob get distinguishable manifests.
+            settings_meta=dataclasses.asdict(settings),
         )
         write_topk_edges(
             topk_records, artifacts_dir / "eval_retriever", split=split, k_values=tcfg.k_values

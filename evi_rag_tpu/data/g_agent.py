@@ -301,8 +301,12 @@ def build_agent_sample(
         keep = _hop_filter(
             heads[env_edges], tails[env_edges], start_locals_ret, num_nodes, settings.max_hops
         )
-        if keep.any():
-            env_edges = env_edges[keep]
+        env_edges = env_edges[keep]
+        if env_edges.size == 0:
+            # Every selected edge lies beyond the radius: the sample has no
+            # environment graph left — drop it rather than silently keeping
+            # out-of-radius edges.
+            return None
 
     # Dedup by global (h, r, t), max-aggregate score and label.
     hg = node_entity_ids[heads[env_edges]]

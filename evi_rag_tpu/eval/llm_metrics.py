@@ -233,8 +233,9 @@ _ANSWER_METRIC_NAMES = {
 
 def _as_int_list(values: Any) -> list[int]:
     """Reference ``_as_int_list`` (``llm_metrics.py:152-158``): lists keep
-    int-coercible entries (None dropped), scalars coerce to a single-int
-    list, anything un-coercible counts as empty."""
+    their non-None entries int-coerced (an un-coercible LIST entry raises,
+    exactly as the reference comprehension does); an un-coercible SCALAR
+    counts as empty."""
     if values is None:
         return []
     if isinstance(values, (list, tuple)):
@@ -288,7 +289,10 @@ def evaluate_predictions(predictions: Iterable[dict[str, Any]]) -> dict[str, flo
                 raise ValueError(f"missing {field} for id={sid}")
         hit_set = _require_bool(item["hit_set"], "hit_set", sid)
         hit_vis = _require_bool(item["hit_vis"], "hit_vis", sid)
-        visible = _as_int_list(item["visible_edge_ids"])
+        try:
+            visible = _as_int_list(item["visible_edge_ids"])
+        except (TypeError, ValueError) as exc:
+            raise ValueError(f"visible_edge_ids invalid for id={sid}: {exc}") from exc
         kwargs = dict(
             score_f1=score["f1"],
             hit_set=hit_set,

@@ -557,9 +557,11 @@ def serve_recall_at_k(
     """Triple recall@k of the served rankings against ``edge_labels`` (the
     matched-recall half of the north star).
 
-    Reference semantics (``src/metrics/retriever_metrics.py:140-158`` and
+    Reference semantics (``src/metrics/retriever_metrics.py:125-158`` and
     this repo's ``edge_recall_at_k``): zero-positive questions count as
-    recall 0 in the denominator, so serve/recall@k is directly comparable
+    recall 0 in the denominator, while zero-EDGE questions are skipped from
+    it entirely (the reference ``continue``s empty edge slices before the
+    graph count increments) — so serve/recall@k stays directly comparable
     to eval_retriever's edge/recall@k on splits with unanswerable questions.
     ``require_positive=True`` restores the drop-from-denominator variant.
     """
@@ -568,6 +570,8 @@ def serve_recall_at_k(
     counted = 0
     for r in results:
         s = by_id[r.sample_id]
+        if s.edge_index.shape[1] == 0:
+            continue  # edgeless: not in the reference denominator
         pos = np.nonzero(np.asarray(s.edge_labels) > 0.5)[0]
         if pos.size == 0:
             if not require_positive:

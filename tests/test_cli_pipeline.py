@@ -56,7 +56,12 @@ def test_full_pipeline_synthetic(tmp_path):
         tmp_path,
     )
     assert m2["validation/num_agent_samples"] > 0
-    assert (pathlib.Path(art) / "g_agent" / "validation" / "manifest.json").exists()
+    ga_manifest = json.loads(
+        (pathlib.Path(art) / "g_agent" / "validation" / "manifest.json").read_text()
+    )
+    # Full settings provenance: behavior-affecting knobs must be recorded.
+    assert {"edge_top_k", "max_hops", "apply_hop_filter", "start_max_edges",
+            "score_mode"} <= set(ga_manifest["settings"])
     assert (pathlib.Path(art) / "eval_retriever" / "validation.manifest.json").exists()
     # Top-k edge records carry the reference writer's per-edge schema
     # (retriever_topk_edge_writer.py:332-350).

@@ -120,6 +120,26 @@ def test_hop_filter_prunes_far_edges():
     assert 104 not in s.node_entity_ids
 
 
+def test_hop_filter_drops_sample_when_nothing_in_radius():
+    """If every selected edge lies beyond max_hops of the starts, the sample
+    is dropped — never silently kept with out-of-radius edges."""
+    kw = _sample_kwargs()
+    # Start node 4 only appears as the tail of edge (3->4); with
+    # start_max_edges=0 no start-incident edge is forced in, and top-k
+    # selection keeps edges that are all >=1 hop away from node 4's radius-0
+    # neighborhood when max_hops is minimal and the start's own edge loses.
+    kw["start_entity_ids"] = np.array([104])  # global id of node 4
+    scores = np.array([5.0, 4.0, 3.0, 2.0, -10.0], np.float32)  # (3->4) last
+    kw["scores"] = scores
+    s = build_agent_sample(
+        settings=AgentSettings(edge_top_k=2, max_hops=1, apply_hop_filter=True,
+                               start_max_edges=0, score_mode="logits",
+                               allow_empty_answer=True),
+        **kw,
+    )
+    assert s is None
+
+
 def test_agent_sample_validator_rejects_corruption():
     """Strict validator catches the reference's _parse_sample error classes:
     range violations, redundant-field disagreement, flag inconsistency."""

@@ -288,6 +288,23 @@ def test_serve_recall_counts_zero_positive_questions():
     rec_rp = serve_recall_at_k(ds.samples, results, [100], require_positive=True)
     assert rec_rp["serve/recall@100"] == 1.0
 
+    # Edgeless questions skip the denominator entirely (reference
+    # retriever_metrics.py:125-131; matches edge_recall_at_k's edge_count>0).
+    import dataclasses as _dc
+
+    s_empty = _dc.replace(
+        s_zero,
+        sample_id="empty",
+        edge_index=np.zeros((2, 0), np.int64),
+        edge_relations=np.zeros(0, np.int64),
+        edge_labels=np.zeros(0, np.float32),
+    )
+    results_e = results + [ServeResult("empty", s_empty.question_id,
+                                       edge_ids=np.zeros(0, np.int64),
+                                       scores=np.zeros(0, np.float32))]
+    rec_e = serve_recall_at_k(list(ds.samples) + [s_empty], results_e, [100])
+    assert rec_e["serve/recall@100"] == 0.5  # edgeless sample excluded
+
 
 def test_serve_task_reprojects_per_split(tmp_path):
     """Synthetic splits regenerate their embedding tables per split, so the
