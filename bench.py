@@ -585,14 +585,16 @@ def main():
     def _secondary(name, fn):
         # Secondary benchmarks must not break the headline; the remote-TPU
         # compile RPC also flakes transiently ("response body closed"), so
-        # each section gets one retry before recording an error.
-        for attempt in (0, 1):
+        # each section gets two retries, with a pause for the tunnel to
+        # recover (an immediate retry tends to hit the same broken stream).
+        for attempt in range(3):
             try:
-                _progress(name if attempt == 0 else f"{name} (retry)")
+                _progress(name if attempt == 0 else f"{name} (retry {attempt})")
                 fn()
                 return
             except Exception as exc:
                 err = str(exc)[:300]
+                time.sleep(20 * attempt + 5)
         details[f"{name.replace(' ', '_')}_error"] = err
 
     def _knn():
