@@ -74,6 +74,11 @@ def main() -> None:
     probe = os.path.join(os.path.dirname(shared_ckpt), f"probe_rank{pid}")
     probe_digest = save_checkpoint(probe, best_params)
 
+    # GFlowNet DP step over the same 2-process global mesh: stacked agent
+    # batch sharded on the shard axis, params replicated, grads psum'd by
+    # XLA.  Proves the reference's DDP capability for the second trainer too.
+    gfn_digest, gfn_loss = _gflownet_dp_step(ds, mesh, best_params)
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -81,9 +86,82 @@ def main() -> None:
                 "digest": digest,
                 "probe_digest": probe_digest,
                 "epochs": len(info["history"]),
+                "gfn_digest": gfn_digest,
+                "gfn_loss": gfn_loss,
             },
             f,
         )
+
+
+def _gflownet_dp_step(ds, mesh, retriever_params):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from evi_rag_tpu.data.feeder import collate_agent_stacked, fixed_agent_bucket
+    from evi_rag_tpu.data.g_agent import AgentSettings, build_agent_sample
+    from evi_rag_tpu.models.retriever import Retriever
+    from evi_rag_tpu.train.checkpoint import export_retriever_features, params_digest
+    from evi_rag_tpu.train.gflownet_trainer import (
+        GFlowNetConfig,
+        build_modules,
+        init_gflownet_params,
+        make_gfn_train_step,
+    )
+    from evi_rag_tpu.train.optim import OptimizerConfig, setup_optimizer
+    from evi_rag_tpu.train.retriever_trainer import TrainState
+
+    rng = np.random.default_rng(0)
+    agents = []
+    for s in ds.samples:
+        a = build_agent_sample(
+            sample_id=s.sample_id, question_id=s.question_id,
+            heads=s.edge_index[0], tails=s.edge_index[1],
+            relations=s.edge_relations, labels=s.edge_labels.astype(np.float32),
+            scores=rng.normal(size=s.edge_index.shape[1]).astype(np.float32),
+            node_entity_ids=np.arange(1000, 1000 + s.num_nodes),
+            node_embedding_ids=s.node_embedding_ids,
+            start_entity_ids=1000 + s.topic_locals,
+            answer_entity_ids=1000 + s.answer_locals,
+            settings=AgentSettings(edge_top_k=20, score_mode="logits"),
+        )
+        if a is not None:
+            agents.append(a)
+    agents = (agents * 2)[:4]  # 2 graphs per shard x 2 devices
+    bucket = fixed_agent_bucket(agents, 2)
+    stacked = collate_agent_stacked(
+        agents, num_shards=2, entity_emb=ds.entity_emb,
+        relation_emb=ds.relation_emb, question_emb=ds.question_emb, bucket=bucket,
+    )
+    flat = jax.tree.map(lambda x: x[0], stacked)
+    bundle = export_retriever_features(
+        retriever_params["params"] if "params" in retriever_params else retriever_params,
+        Retriever(emb_dim=16, hidden_dim=16, dropout_p=0.0).parity_meta(),
+    )
+    cfg = GFlowNetConfig(
+        hidden_dim=16, max_steps=2, num_train_rollouts=2, bc_weight=0.5,
+        total_steps=10, dropout=0.0,
+        optimizer=OptimizerConfig(name="adamw", learning_rate=1e-3),
+    )
+    mods = build_modules(cfg)
+    params = init_gflownet_params(cfg, mods, bundle, flat, seed=0)
+    tx = setup_optimizer(cfg.optimizer, params)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(mesh.axis_names[0]))
+    state = TrainState(
+        params=jax.device_put(params, repl),
+        opt_state=jax.device_put(jax.jit(tx.init)(params), repl),
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.key(5),
+    )
+    step = make_gfn_train_step(mods, tx, cfg, bundle)
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, shard if x.ndim else repl), stacked
+    )
+    state, m = step(state, batch)
+    host_params = jax.tree.map(lambda x: np.asarray(x), state.params)
+    return params_digest(host_params), float(m["loss"])
 
 
 if __name__ == "__main__":

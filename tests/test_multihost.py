@@ -120,6 +120,10 @@ def test_two_process_training_end_to_end(tmp_path):
     # Replicated DP params => identical digests on both ranks.
     assert by_pid[0]["digest"] == by_pid[1]["digest"]
     assert by_pid[0]["probe_digest"] == by_pid[1]["probe_digest"]
+    # GFlowNet DP step over the same global mesh: replicated post-update
+    # params and the psum'd loss must agree across processes.
+    assert by_pid[0]["gfn_digest"] == by_pid[1]["gfn_digest"]
+    assert by_pid[0]["gfn_loss"] == pytest.approx(by_pid[1]["gfn_loss"])
     # Rank-0-only writes: shared ckpt + rank-0 probe exist, rank-1 probe not.
     meta = json.loads((shared_ckpt / "meta.json").read_text())
     assert meta["params_sha256"] == by_pid[0]["digest"]
