@@ -223,6 +223,57 @@ def test_oracle_runner():
     assert metrics["answer_hit@2"] == 1.0 and metrics["answer_hit@1"] == 0.0
 
 
+def test_ollama_request_contract(monkeypatch):
+    """The ollama backend sends the reference's exact wire format
+    (``src/utils/llm_client.py:41-59``): POST /api/chat, JSON payload with
+    model (ollama: prefix stripped), messages, stream=false, and
+    temperature/num_predict/frequency_penalty under options."""
+    import io
+    import json as _json
+
+    import evi_rag_tpu.eval.llm_client as mod
+
+    captured = {}
+
+    class _Resp(io.BytesIO):
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        captured["method"] = req.get_method()
+        captured["payload"] = _json.loads(req.data.decode())
+        captured["timeout"] = timeout
+        return _Resp(_json.dumps({"message": {"content": "hi"}}).encode())
+
+    monkeypatch.setattr(mod.request, "urlopen", fake_urlopen)
+    chat = init_llm(LLMConfig(
+        backend="ollama", model_name="ollama:llama3", temperature=0.25,
+        max_tokens=77, frequency_penalty=0.5,
+    ))
+    msgs = [{"role": "user", "content": "q"}]
+    assert chat(msgs) == "hi"
+    assert captured["url"].endswith("/api/chat")
+    assert captured["method"] == "POST"
+    assert captured["payload"] == {
+        "model": "llama3",
+        "messages": msgs,
+        "stream": False,
+        "options": {"temperature": 0.25, "num_predict": 77, "frequency_penalty": 0.5},
+    }
+
+    # Missing message.content is a hard error, as in the reference.
+    monkeypatch.setattr(
+        mod.request, "urlopen",
+        lambda req, timeout=None: _Resp(_json.dumps({"done": True}).encode()),
+    )
+    with pytest.raises(ValueError, match="message.content"):
+        chat(msgs)
+
+
 def test_llm_retry_backoff(monkeypatch):
     calls = []
 
