@@ -23,9 +23,90 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache"
 
 import numpy as np
 
+METRIC_NAME = "query_throughput_131k_candidates_top100_d1024"
+METRIC_UNIT = "queries/sec/chip"
+# Shared across main() and the top-level error handler so a mid-run failure
+# still commits whatever sections completed to bench_details.json.
+DETAILS: dict = {}
+
 
 def _progress(msg: str) -> None:
     print(f"[bench] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+
+_PROBE_CODE = (
+    "import jax, json; d = jax.devices(); "
+    "print(json.dumps({'n': len(d), 'platform': d[0].platform}))"
+)
+
+
+def probe_backend(timeout_s: float) -> tuple[bool, str]:
+    """Try backend init in a killable subprocess.
+
+    The remote-TPU tunnel has two distinct failure modes and this catches
+    both: a dead relay makes ``jax.devices()`` HANG (the r3 MULTICHIP rc=124
+    mode -- only a subprocess timeout can recover), and a half-up relay makes
+    it RAISE ``Unable to initialize backend 'axon'`` (the r3 BENCH rc=1 mode).
+    """
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hung >{timeout_s:.0f}s (tunnel relay down?)"
+    if p.returncode != 0:
+        return False, (p.stderr or p.stdout).strip()[-400:]
+    return True, p.stdout.strip().splitlines()[-1]
+
+
+def wait_for_backend() -> tuple[bool, str]:
+    """Bounded retry-with-backoff for backend availability (VERDICT r3 #1b)."""
+    attempts = int(os.environ.get("EVI_BENCH_PROBE_ATTEMPTS", "4"))
+    timeout_s = float(os.environ.get("EVI_BENCH_PROBE_TIMEOUT_S", "75"))
+    backoff_s = float(os.environ.get("EVI_BENCH_PROBE_BACKOFF_S", "45"))
+    info = ""
+    for i in range(attempts):
+        _progress(f"backend probe {i + 1}/{attempts}")
+        ok, info = probe_backend(timeout_s)
+        if ok:
+            _progress(f"backend up: {info}")
+            return True, info
+        _progress(f"backend unavailable: {info}")
+        if i + 1 < attempts:
+            time.sleep(backoff_s * (i + 1))
+    return False, info
+
+
+def _write_details() -> None:
+    try:
+        import pathlib
+
+        pathlib.Path("bench_details.json").write_text(json.dumps(DETAILS, indent=2))
+    except OSError:
+        pass
+
+
+def emit_structured_error(kind: str, detail: str) -> None:
+    """Parseable one-line result on failure; the driver must never see rc!=0
+    with a bare traceback again (VERDICT r3 weak #1)."""
+    DETAILS.setdefault("error", kind)
+    DETAILS.setdefault("error_detail", detail[:400])
+    _write_details()
+    print(
+        json.dumps(
+            {
+                "metric": METRIC_NAME,
+                "value": None,
+                "unit": METRIC_UNIT,
+                "vs_baseline": None,
+                "error": kind,
+                "detail": detail[:400],
+            }
+        )
+    )
 
 
 def build_inputs(num_candidates: int, dim: int, struct_dim: int, batch: int, seed: int = 0):
@@ -535,14 +616,15 @@ def main():
     cpu_qps = bench_cpu_reference(bundle, cpu_inputs, scale_to=num_candidates)
     vs = qps / cpu_qps if cpu_qps else float("nan")
 
-    details = {
-        "engine": engine,
-        "query_throughput_qps": round(qps, 3),
-        "headline_batch": batch,
-        f"query_latency_ms_batch{batch}": round(dt * 1e3, 2),
-        "query_qps_batch8": round(qps_b8, 2) if qps_b8 else None,
-        "cpu_reference_qps": round(cpu_qps, 4) if cpu_qps else None,
-    }
+    details = DETAILS
+    details.update(
+        engine=engine,
+        query_throughput_qps=round(qps, 3),
+        headline_batch=batch,
+        **{f"query_latency_ms_batch{batch}": round(dt * 1e3, 2)},
+        query_qps_batch8=round(qps_b8, 2) if qps_b8 else None,
+        cpu_reference_qps=round(cpu_qps, 4) if cpu_qps else None,
+    )
     if engine == "pallas_fused":
         details["mfu_fused_131k"] = round(
             fused_kernel_mfu(qps, num_candidates, dim, hidden, auto_bq(batch)), 4
@@ -624,24 +706,36 @@ def main():
     _secondary("gflownet step", _gfn)
     _secondary("serve surface", _serve)
     print(json.dumps(details), file=sys.stderr)
-    try:
-        import pathlib
-
-        pathlib.Path("bench_details.json").write_text(json.dumps(details, indent=2))
-    except OSError:
-        pass
+    _write_details()
 
     print(
         json.dumps(
             {
-                "metric": "query_throughput_131k_candidates_top100_d1024",
+                "metric": METRIC_NAME,
                 "value": round(qps, 3),
-                "unit": "queries/sec/chip",
+                "unit": METRIC_UNIT,
                 "vs_baseline": round(vs, 2) if np.isfinite(vs) else None,
             }
         )
     )
 
 
+def run_cli() -> int:
+    """Driver entry: always exits 0 with one parseable JSON line on stdout --
+    numbers when the backend is healthy, a structured error otherwise."""
+    ok, info = wait_for_backend()
+    if not ok:
+        emit_structured_error("backend_unavailable", info)
+        return 0
+    try:
+        main()
+    except Exception as exc:  # noqa: BLE001 -- structured error is the contract
+        import traceback
+
+        traceback.print_exc()
+        emit_structured_error("bench_exception", repr(exc))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    sys.exit(run_cli())
