@@ -650,7 +650,7 @@ def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
         max_epochs=int(g.get("max_epochs", 5)),
         patience=int(g.get("patience", 5)),
         dropout=float(g.get("dropout", 0.1)),
-        cache_frozen_embed=bool(g.get("cache_frozen_embed", True)),
+        cache_frozen_embed=bool(g.get("cache_frozen_embed", False)),
         compute_dtype=str(g.get("compute_dtype", "float32")),
     )
 

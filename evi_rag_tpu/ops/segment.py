@@ -18,6 +18,13 @@ Conventions
 * ``segment_argmax`` breaks ties toward the lowest element index,
   deterministically (torch_scatter's tie-break is unspecified; rollouts only
   hit ties on measure-zero events, so the fixed rule is behaviour-preserving).
+* Dense-mode caveat: the default dense (one-hot matmul) path lets a non-finite
+  value in an in-range lane poison EVERY segment of an ND reduce via
+  0 * inf = NaN, where scatter confines it to the lane's own segment.  Both
+  modes make the cross-graph mean loss non-finite, so failure stays equally
+  visible; for per-graph attribution under instability set
+  ``EVI_SEGMENT_MODE=scatter`` (honored by computations traced after the
+  change) or use the debug profile's ``jax_debug_nans``.
 
 All functions operate on the leading axis of ``data``; trailing feature axes
 are broadcast.
@@ -35,20 +42,24 @@ NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 # EVI_SEGMENT_MODE: "dense" (default) | "scatter".
 # Dense = one-hot [G, E] matmul/masked-reduce instead of XLA scatter for
-# small segment counts (per-graph reductions, G <= _DENSE_MAX_SEGMENTS);
+# small segment counts (per-graph reductions, G <= EVI_SEGMENT_DENSE_MAX);
 # larger counts (e.g. DDE per-node aggregation) always use scatter.  On a
 # v5e chip dense measured +9-13% GFlowNet step (925 -> 1010 graphs/s
 # uncached, 919 -> 1035 cached) and +11% retriever train step
 # (1094 -> 1211 graphs/s): TPU scatter serializes updates while the
 # membership matmul/masked-reduce stays on the MXU/VPU, and it vmaps
 # (rollouts, shards) without batched-scatter penalties.
-_MODE = os.environ.get("EVI_SEGMENT_MODE", "dense")
-_DENSE_MAX_SEGMENTS = int(os.environ.get("EVI_SEGMENT_DENSE_MAX", "128"))
-_DENSE_OPS = set(os.environ.get("EVI_SEGMENT_DENSE_OPS", "sum,max,min").split(","))
 
 
 def _dense_ok(num_segments: int, op: str = "sum") -> bool:
-    return _MODE == "dense" and op in _DENSE_OPS and num_segments <= _DENSE_MAX_SEGMENTS
+    # Env is read at TRACE time (not import time) so flipping
+    # EVI_SEGMENT_MODE mid-process affects every computation traced
+    # afterwards; already-jitted computations keep their traced mode.
+    if os.environ.get("EVI_SEGMENT_MODE", "dense") != "dense":
+        return False
+    if op not in os.environ.get("EVI_SEGMENT_DENSE_OPS", "sum,max,min").split(","):
+        return False
+    return num_segments <= int(os.environ.get("EVI_SEGMENT_DENSE_MAX", "128"))
 
 
 def _onehot(segment_ids: jax.Array, num_segments: int) -> jax.Array:

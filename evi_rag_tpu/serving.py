@@ -21,6 +21,7 @@ batched ``ops.query.query_topk_per_question`` path, keeping the
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Any, Iterable, Sequence
@@ -403,9 +404,12 @@ def serve_split(
         #     (``lax.map`` over its groups; question table device-resident,
         #     groups carry int32 question ids only),
         # (c) ONE [B, G, k] result fetch per bucket.
-        # ``window`` bounds device memory for very large splits.
+        # Windows bound device memory for very large splits -- by ESTIMATED
+        # STAGED BYTES (not sample count: a window of uniformly wide-m_pad
+        # samples would otherwise stack multi-GB feeds on device; ADVICE r3).
         q_table = jnp.asarray(np.ascontiguousarray(question_emb.astype(np.float32)))
-        window = group_size * max(8, 8192 // max(group_size, 1))
+        max_window_samples = group_size * max(8, 8192 // max(group_size, 1))
+        byte_budget = int(os.environ.get("EVI_SERVE_WINDOW_BYTES", 256 << 20))
         interp = (
             fused_interpret if fused_interpret is not None
             else jax.default_backend() == "cpu"
@@ -435,22 +439,47 @@ def serve_split(
             return dict(eidx=eidx, node_rows=node_rows, rel_ids=rel_ids,
                         lengths=lengths, topic=topic, ncnt=ncnt, qids=qids)
 
-        for w0 in range(0, len(order), window):
-            win = order[w0 : w0 + window]
+        # Group boundaries + padded shapes first, then cut windows greedily
+        # where the staged-feed estimate would exceed the byte budget.
+        group_recs = []
+        for g0 in range(0, len(order), group_size):
+            idxs = order[g0 : g0 + group_size]
+            group = [samples[i] for i in idxs]
+            m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
+            m_pad = max(m_pad, _pow2_at_least(k))
+            n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
+            eidx_isz = 2 if n_pad <= 32768 else 4
+            bytes_est = group_size * (
+                2 * m_pad * eidx_isz                       # eidx [2, m_pad]
+                + m_pad * np.dtype(rel_dtype).itemsize     # rel_ids
+                + n_pad * 4 + n_pad                        # node_rows + topic
+            )
+            group_recs.append((idxs, group, (m_pad, n_pad), bytes_est))
+        windows: list[list[tuple]] = []
+        cur: list[tuple] = []
+        cur_bytes = cur_samples = 0
+        for rec in group_recs:
+            if cur and (
+                cur_bytes + rec[3] > byte_budget
+                or cur_samples + group_size > max_window_samples
+            ):
+                windows.append(cur)
+                cur, cur_bytes, cur_samples = [], 0, 0
+            cur.append(rec)
+            cur_bytes += rec[3]
+            cur_samples += group_size
+        if cur:
+            windows.append(cur)
+
+        for win_groups in windows:
             tp = time.perf_counter()
             packed: dict[tuple, list[dict]] = {}
             metas: dict[tuple, list[tuple]] = {}  # key -> [(idxs, group)]
-            for g0 in range(0, len(win), group_size):
-                idxs = win[g0 : g0 + group_size]
-                group = [samples[i] for i in idxs]
-                m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
-                m_pad = max(m_pad, _pow2_at_least(k))
-                n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
-                key = (m_pad, n_pad)
+            for idxs, group, key, _ in win_groups:
                 # Fixed G = group_size: one compiled shape per bucket; the
                 # trailing partial group pads with empty questions.
                 packed.setdefault(key, []).append(
-                    pack_group_compact(group, group_size, m_pad, n_pad)
+                    pack_group_compact(group, group_size, *key)
                 )
                 metas.setdefault(key, []).append((idxs, group))
             # Pad each bucket's group count to pow-2 (bounds compile count

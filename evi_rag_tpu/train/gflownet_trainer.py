@@ -67,11 +67,13 @@ class GFlowNetConfig:
     dropout: float = 0.1
     # Cache the frozen retriever embeddings per train batch across epochs
     # (the heavy parameter-free part of every step; measured 837.5 -> 979.5
-    # graphs/s on a v5e chip). Default on: epoch-style fit reuses fixed
-    # batch membership (order still reshuffles per epoch). Costs device
-    # memory proportional to the epoch's batch count — disable for very
-    # large epochs or when per-epoch batch re-composition matters.
-    cache_frozen_embed: bool = True
+    # graphs/s on a v5e chip). OPT-IN: caching fixes batch MEMBERSHIP across
+    # epochs (only inter-epoch order reshuffles), diverging from the
+    # reference's per-epoch reshuffled DataLoader composition
+    # (gflownet_datamodule shuffle=True) -- the default keeps reference
+    # training semantics (ADVICE r3). Costs device memory proportional to
+    # the epoch's batch count when enabled.
+    cache_frozen_embed: bool = False
     # Mixed precision for the policy's per-edge network (reference trains
     # 16-mixed, configs/trainer/gpu.yaml); log-probs/SubTB/reward stay f32.
     compute_dtype: str = "float32"  # float32 | bfloat16

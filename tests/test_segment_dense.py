@@ -17,22 +17,21 @@ import evi_rag_tpu.ops.segment as seg
 
 
 @pytest.fixture
-def modes():
-    """Run the wrapped call once per mode and restore module state."""
-    orig = (seg._MODE, seg._DENSE_OPS, seg._DENSE_MAX_SEGMENTS)
+def modes(monkeypatch):
+    """Run the wrapped call once per mode (env is read at trace time, so a
+    plain setenv takes effect for every un-jitted call -- ADVICE r3 made the
+    mode lazy instead of import-time)."""
 
     def run(fn):
         outs = []
         for mode in ("scatter", "dense"):
-            seg._MODE = mode
-            seg._DENSE_OPS = {"sum", "max", "min"}
-            seg._DENSE_MAX_SEGMENTS = 128
+            monkeypatch.setenv("EVI_SEGMENT_MODE", mode)
+            monkeypatch.setenv("EVI_SEGMENT_DENSE_OPS", "sum,max,min")
+            monkeypatch.setenv("EVI_SEGMENT_DENSE_MAX", "128")
             outs.append(fn())
-        seg._MODE, seg._DENSE_OPS, seg._DENSE_MAX_SEGMENTS = orig
         return outs
 
-    yield run
-    seg._MODE, seg._DENSE_OPS, seg._DENSE_MAX_SEGMENTS = orig
+    return run
 
 
 def _data(seed=0, n=57, g=7, feat=None):
