@@ -652,6 +652,7 @@ def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
         dropout=float(g.get("dropout", 0.1)),
         cache_frozen_embed=bool(g.get("cache_frozen_embed", False)),
         compute_dtype=str(g.get("compute_dtype", "float32")),
+        precompute_policy=bool(g.get("precompute_policy", True)),
     )
 
 

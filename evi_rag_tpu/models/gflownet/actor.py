@@ -44,6 +44,12 @@ class ActorConfig:
     max_steps: int
     policy_temperature: float = 1.0
     stop_on_answer: bool = False
+    # Hoist the per-step edge-axis policy matmuls (attn k/v, edge-head edge
+    # half) into batched pre-scan launches (``PolicyStepTensors``); the scan
+    # body keeps only [G, H] matmuls + segment ops.  Identical math modulo
+    # f32 reassociation and the dropout rng stream; turn off to run the
+    # canonical per-step policy.
+    precompute_policy: bool = True
 
     @property
     def num_steps(self) -> int:
@@ -104,6 +110,13 @@ def rollout(
     edge_base = policy.apply(
         policy_params, edge_tokens, method=GFlowNetEdgePolicy.compute_edge_base
     )
+    step_tensors = None
+    if config.precompute_policy:
+        pre_rngs = {"dropout": jax.random.fold_in(rng, 987)} if train else None
+        step_tensors = policy.apply(
+            policy_params, edge_tokens, T, edge_base=edge_base, train=train,
+            method=GFlowNetEdgePolicy.precompute_steps, rngs=pre_rngs,
+        )
 
     state0 = env_reset(
         batch, max_steps=config.max_steps, hidden_dim=h, stop_on_answer=config.stop_on_answer
@@ -120,7 +133,7 @@ def rollout(
 
     def step_fn(carry, xs):
         state: EnvState = carry
-        step_idx, key, forced_t = xs
+        step_idx, key, forced_t, st_t = xs
 
         state_tokens = state_encoder.apply(
             encoder_params, cache, state, batch, method=StateEncoder.encode_state
@@ -129,11 +142,17 @@ def rollout(
         unused = ~state.used_edge_mask
         valid = (fwd | bwd) & unused
 
-        policy_rngs = {"dropout": jax.random.fold_in(key, 2)} if train else None
-        edge_logits, stop_logits, state_out = policy.apply(
-            policy_params, edge_tokens, state_tokens, gb.edge_batch, valid,
-            edge_base=edge_base, train=train, rngs=policy_rngs,
-        )
+        if st_t is not None:
+            edge_logits, stop_logits, state_out = policy.apply(
+                policy_params, st_t, state_tokens, gb.edge_batch, valid,
+                method=GFlowNetEdgePolicy.apply_precomputed,
+            )
+        else:
+            policy_rngs = {"dropout": jax.random.fold_in(key, 2)} if train else None
+            edge_logits, stop_logits, state_out = policy.apply(
+                policy_params, edge_tokens, state_tokens, gb.edge_batch, valid,
+                edge_base=edge_base, train=train, rngs=policy_rngs,
+            )
         lp_edge, lp_stop, has_edge = log_probs_edges(
             edge_logits, stop_logits, gb.edge_batch, valid, g, temp
         )
@@ -189,7 +208,8 @@ def rollout(
         outs = (log_pf, state_out.astype(jnp.float32), actions, bc_step_loss, bc_step_count)
         return new_state, outs
 
-    xs = (jnp.arange(T, dtype=jnp.int32), step_keys, forced)
+    # None is an empty pytree: scan passes it through unsliced.
+    xs = (jnp.arange(T, dtype=jnp.int32), step_keys, forced, step_tensors)
     # Horizons are tiny (reference max_steps=3, gflownet_env.py:266-387), so
     # fully unroll short rollouts: the while-loop (and its reverse-mode twin)
     # serialized small per-step ops behind loop-carried dynamic-update-slices;

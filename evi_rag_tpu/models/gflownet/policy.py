@@ -19,6 +19,7 @@ Last linears are zero-initialized so the policy starts near-uniform
 
 from __future__ import annotations
 
+import dataclasses
 import math
 
 import jax
@@ -27,6 +28,32 @@ from flax import linen as nn
 
 from evi_rag_tpu.ops.segment import NEG_INF, segment_softmax, segment_sum
 from evi_rag_tpu.ops.nnfn import gelu_exact as _gelu_exact
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PolicyStepTensors:
+    """Per-rollout-step policy tensors hoisted out of the step loop.
+
+    The rollout's per-step edge-axis matmuls -- attn k/v over [E, H] and the
+    edge half of the edge head's LayerNorm+Dense over [E, 2H] -- depend only
+    on ``edge_repr`` (edge_base + that step's dropout mask), never on the
+    evolving state.  Batching them over the step axis turns T small
+    sequentially-dependent matmuls into one [T*E, *] MXU launch each, leaving
+    only [G, H]-sized matmuls and VPU segment work inside the scan (the
+    "fused rollout step" restructure of VERDICT r3 #5; the reference instead
+    re-runs the full policy per Python-loop step,
+    ``gflownet_actor.py:74-373``).
+
+    Leading axis T: ``lax.scan`` slices it per step.
+    """
+
+    k: jax.Array        # [T, E, H] attention keys (compute dtype)
+    v: jax.Array        # [T, E, H] attention values (compute dtype)
+    p_edge: jax.Array   # [T, E, H] f32 (edge_repr . gamma_e) @ W0_e
+    sum_e: jax.Array    # [T, E] f32 per-row sum of the edge half
+    sumsq_e: jax.Array  # [T, E] f32 per-row sum of squares of the edge half
+    drop2: jax.Array    # [T, E, H] edge-head dropout mask (values 0 or 1/keep)
 
 
 class GFlowNetEdgePolicy(nn.Module):
@@ -66,6 +93,104 @@ class GFlowNetEdgePolicy(nn.Module):
         (the reference precomputes it once per rollout, ``gflownet_policy.py:
         88-91`` + ``gflownet_actor.py:110-112``)."""
         return _gelu_exact(self.edge_base_dense(self.edge_base_norm(edge_tokens)))
+
+    def precompute_steps(
+        self,
+        edge_tokens: jax.Array,
+        num_steps: int,
+        *,
+        edge_base: jax.Array | None = None,
+        train: bool = False,
+    ) -> PolicyStepTensors:
+        """All per-step edge-axis matmuls, batched over the T step axis.
+
+        Per-step dropout masks are sampled here (independently per step, as
+        the canonical per-step path does -- only the rng stream differs); the
+        edge half of ``edge_head_norm + edge_head_0`` is folded into
+        ``p_edge`` via the LayerNorm split used by ``apply_precomputed``.
+        """
+        if edge_base is None:
+            edge_base = self.compute_edge_base(edge_tokens)
+        e, h = edge_base.shape
+        reps = jnp.broadcast_to(edge_base[None], (num_steps, e, h))
+        # One Dropout call over [T, E, H] == independent per-step masks.
+        edge_repr = self.edge_dropout(reps, deterministic=not train)
+        k = self.attn_k(edge_repr)
+        v = self.attn_v(edge_repr)
+        gamma = self.edge_head_norm.variables["params"]["scale"]  # [2H]
+        w0 = self.edge_head_0.variables["params"]["kernel"]       # [2H, H]
+        b = edge_repr.astype(jnp.float32)
+        p_edge = jnp.matmul(
+            b * gamma[h:].astype(jnp.float32),
+            w0[h:].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        drop2 = self.edge_head_drop(
+            jnp.ones((num_steps, e, h), jnp.float32), deterministic=not train
+        )
+        return PolicyStepTensors(
+            k=k, v=v, p_edge=p_edge,
+            sum_e=b.sum(-1), sumsq_e=(b * b).sum(-1), drop2=drop2,
+        )
+
+    def apply_precomputed(
+        self,
+        step: PolicyStepTensors,       # one [E, ...] step slice (scan-sliced)
+        state_tokens: jax.Array,       # [G, H]
+        edge_batch: jax.Array,         # [E]
+        valid_edges_mask: jax.Array,   # [E] bool
+    ) -> tuple[jax.Array, jax.Array, jax.Array]:
+        """Per-step policy using hoisted tensors: same math as ``__call__``
+        with the edge-head LayerNorm+Dense split as
+
+            LN(concat(a, b)) @ W0 + b0
+              = [(a.g_a) @ W0_a + (b.g_b) @ W0_b - mu (g @ W0)] / sigma
+                + (beta @ W0 + b0)
+
+        where mu/sigma combine per-half running sums (flax LayerNorm computes
+        stats in f32 with fast variance; so does this).  The only remaining
+        per-step matmuls are [G, H]-sized (state side) plus the [E, H] -> [E]
+        edge_head_1 matvec."""
+        num_graphs, h = state_tokens.shape
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+        state_base = self.state_norm(state_tokens)
+        q = self.attn_q(state_base)[edge_batch]               # [E, H]
+        att_logits = (
+            jnp.sum(q.astype(jnp.float32) * step.k.astype(jnp.float32), axis=-1)
+            / max(math.sqrt(self.hidden_dim), 1.0)
+        )
+        att_w = segment_softmax(att_logits, edge_batch, num_graphs, mask=valid_edges_mask)
+        context = segment_sum(
+            att_w[:, None] * step.v.astype(jnp.float32),
+            edge_batch, num_graphs, mask=valid_edges_mask,
+        )
+        state_out = self.state_norm(
+            state_tokens.astype(jnp.float32) + context
+        ).astype(jnp.float32)
+
+        gamma = self.edge_head_norm.variables["params"]["scale"].astype(jnp.float32)
+        beta = self.edge_head_norm.variables["params"]["bias"].astype(jnp.float32)
+        w0 = self.edge_head_0.variables["params"]["kernel"].astype(jnp.float32)
+        b0 = self.edge_head_0.variables["params"]["bias"].astype(jnp.float32)
+        # Match the canonical path's cast of state_out into the concat dtype.
+        a = state_out.astype(cd).astype(jnp.float32)          # [G, H]
+        p_state = jnp.matmul(a * gamma[:h], w0[:h], preferred_element_type=jnp.float32)
+        mu = (a.sum(-1)[edge_batch] + step.sum_e) / (2.0 * h)
+        var = ((a * a).sum(-1)[edge_batch] + step.sumsq_e) / (2.0 * h) - mu * mu
+        inv = jax.lax.rsqrt(var + 1e-5)                        # edge_head_norm eps
+        u = gamma @ w0                                         # [H]
+        const = beta @ w0 + b0                                 # [H]
+        h_pre = (
+            p_state[edge_batch] + step.p_edge - mu[:, None] * u[None, :]
+        ) * inv[:, None] + const[None, :]
+        hh = _gelu_exact(h_pre.astype(cd)) * step.drop2.astype(cd)
+        edge_logits = self.edge_head_1(hh)[..., 0].astype(jnp.float32)
+        edge_logits = jnp.where(valid_edges_mask, edge_logits, NEG_INF)
+
+        s = _gelu_exact(self.stop_head_0(self.stop_head_norm(state_out.astype(cd))))
+        stop_logits = self.stop_head_1(s)[..., 0].astype(jnp.float32)
+        return edge_logits, stop_logits, state_out
 
     def __call__(
         self,

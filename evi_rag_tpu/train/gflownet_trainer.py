@@ -77,6 +77,9 @@ class GFlowNetConfig:
     # Mixed precision for the policy's per-edge network (reference trains
     # 16-mixed, configs/trainer/gpu.yaml); log-probs/SubTB/reward stay f32.
     compute_dtype: str = "float32"  # float32 | bfloat16
+    # Hoist per-step edge-axis policy matmuls out of the rollout scan (see
+    # ActorConfig.precompute_policy).
+    precompute_policy: bool = True
 
     @property
     def actor(self) -> ActorConfig:
@@ -84,6 +87,7 @@ class GFlowNetConfig:
             max_steps=self.max_steps,
             policy_temperature=self.policy_temperature,
             stop_on_answer=self.stop_on_answer,
+            precompute_policy=self.precompute_policy,
         )
 
 
