@@ -3,8 +3,9 @@
 test:            ## fast tests (skip slow pipeline tests)
 	python -m pytest tests/ -q -m "not slow"
 
-test-full:       ## everything incl. the full CLI pipeline
-	python -m pytest tests/ -q
+test-full:       ## everything incl. the full CLI pipeline, 10-min budget enforced
+	timeout 600 python -m pytest tests/ -q || \
+	  { rc=$$?; [ $$rc -eq 124 ] && echo "FAIL: suite exceeded the 600s budget"; exit $$rc; }
 
 test-native:     ## native graphcore parity
 	python -m pytest tests/test_native_graphcore.py -q

@@ -539,7 +539,28 @@ def bench_gflownet_step():
             state16, m = step16(state16, batch, fe)
         float(m["loss"])
         dt16 = min(dt16, (time.perf_counter() - t1) / iters)
-    return 16 / dt, 16 / dt_cached, 16 / dt16
+
+    # A/B delta for the rollout restructure (VERDICT r3 #5): same cached-embed
+    # step with the per-step canonical policy (precompute_policy=False).
+    # EVI_BENCH_GFN_AB=0 skips the extra compile.
+    dt_off = None
+    if os.environ.get("EVI_BENCH_GFN_AB", "1") == "1":
+        cfg_off = _dc.replace(cfg, precompute_policy=False)
+        state_off = TrainState(
+            params=params, opt_state=jax.jit(tx.init)(params),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+        )
+        step_off = make_gfn_train_step(mods, tx, cfg_off, bundle)
+        state_off, m = step_off(state_off, batch, fe)
+        float(m["loss"])
+        dt_off = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            for _ in range(iters):
+                state_off, m = step_off(state_off, batch, fe)
+            float(m["loss"])
+            dt_off = min(dt_off, (time.perf_counter() - t1) / iters)
+    return 16 / dt, 16 / dt_cached, 16 / dt16, (16 / dt_off if dt_off else None)
 
 
 def bench_serve_surface(num_questions: int = 256, dim: int = 1024, k: int = 100):
@@ -688,10 +709,12 @@ def main():
         details["train_step_graphs_per_sec"] = round(bench_train_step(), 2)
 
     def _gfn():
-        gfn_qps, gfn_qps_cached, gfn_qps_bf16 = bench_gflownet_step()
+        gfn_qps, gfn_qps_cached, gfn_qps_bf16, gfn_qps_noprecomp = bench_gflownet_step()
         details["gflownet_step_graphs_per_sec"] = round(gfn_qps, 2)
         details["gflownet_step_graphs_per_sec_cached_embed"] = round(gfn_qps_cached, 2)
         details["gflownet_step_graphs_per_sec_bf16_policy"] = round(gfn_qps_bf16, 2)
+        if gfn_qps_noprecomp:
+            details["gflownet_step_graphs_per_sec_no_precompute"] = round(gfn_qps_noprecomp, 2)
 
     def _serve():
         stats = bench_serve_surface()

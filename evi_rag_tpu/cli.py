@@ -1217,7 +1217,20 @@ def apply_extras(cfg: dict) -> None:
     """Debug-profile knobs (the reference's ``trainer/quick.yaml``
     ``deterministic`` + ``detect_anomaly``): NaN detection aborts the first
     bad op; deterministic mode forces bit-reproducible XLA reductions."""
+    import os as _os
+
     import jax
+
+    # Persistent compilation cache (default on): repeated task invocations
+    # recompile nothing -- the dominant cost of short CLI runs on both the
+    # 1-core CPU lane and the remote-compile TPU lane.
+    cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser("~/.cache/jax_comp_cache"),
+    )
+    if cache_dir and cache_dir != "0":
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     extras = cfg.get("extras", {}) or {}
     if extras.get("debug_nans"):

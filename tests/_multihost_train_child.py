@@ -62,7 +62,9 @@ def main() -> None:
                 bucket=bucket,
             )
 
-    cfg = RetrieverTrainConfig(max_epochs=2, monitor="edge/recall@5", k_values=(1, 5, 10))
+    # 1 epoch: the assertions are digest equality + rank-0-only writes, which
+    # one optimizer epoch fully exercises (suite budget, VERDICT r3 #7).
+    cfg = RetrieverTrainConfig(max_epochs=1, monitor="edge/recall@5", k_values=(1, 5, 10))
     best_params, info = fit(model, cfg, train_batches, val_batches, seed=0, mesh=mesh)
 
     # Shared-path save: the real contract (every rank calls, rank 0 writes).

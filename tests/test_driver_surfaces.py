@@ -128,7 +128,12 @@ def test_dryrun_never_inits_real_backend(tmp_path):
     """End-to-end: run the dryrun with a POISONED parent platform -- any
     parent-side backend touch would raise immediately; the sanitized child
     must still bring up the virtual CPU mesh and pass its mandatory stages."""
-    env = _sanitized_env(JAX_PLATFORMS="this_platform_does_not_exist")
+    # Budget 0 skips the optional stages (4-5): the property under test is
+    # backend isolation + the mandatory stages, not full-stage coverage
+    # (the multichip lane covers that); keeps the suite inside its budget.
+    env = _sanitized_env(
+        JAX_PLATFORMS="this_platform_does_not_exist", EVI_DRYRUN_BUDGET_S="0"
+    )
     p = subprocess.run(
         [sys.executable, os.path.join(REPO, "__graft_entry__.py"), "dryrun", "2"],
         env=env, cwd=REPO, capture_output=True, text=True, timeout=540,

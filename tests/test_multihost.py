@@ -43,6 +43,10 @@ def test_two_process_gather_and_psum(tmp_path):
             EVI_NUM_PROCESSES="2",
             EVI_PROCESS_ID=str(pid),
             PYTHONPATH=str(REPO),
+            # Children reuse the persistent compile cache (jax reads these
+            # env vars natively): dominant cost on the 1-core suite lane.
+            JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp_cache",
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.1",
         )
         procs.append(
             subprocess.Popen(
@@ -103,6 +107,8 @@ def test_two_process_training_end_to_end(tmp_path):
             EVI_NUM_PROCESSES="2",
             EVI_PROCESS_ID=str(pid),
             PYTHONPATH=str(REPO),
+            JAX_COMPILATION_CACHE_DIR="/root/.cache/jax_comp_cache",
+            JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.1",
         )
         procs.append(
             subprocess.Popen(
