@@ -24,9 +24,13 @@ stage() {  # stage <name> <cmd...>
 
 [ -d "data/raw/$DATASET" ] || python scripts/make_synthetic_webqsp.py
 
-stage build $CLI build build.dataset="$DATASET" \
-  build.raw_root="data/raw/$DATASET" build.out_dir="data/normalized/$DATASET" \
-  build.encoder.dim=1024
+if [ ! -f "data/normalized/$DATASET/questions.parquet" ]; then
+  stage build $CLI build build.dataset="$DATASET" \
+    build.raw_root="data/raw/$DATASET" build.out_dir="data/normalized/$DATASET" \
+    build.encoder.dim=1024
+else
+  echo "== build: reusing data/normalized/$DATASET =="
+fi
 
 stage train_retriever $CLI train_retriever $EXP dataset="$DATASET-sub" \
   retriever.train.ckpt_dir="$ART/ckpt/retriever"
