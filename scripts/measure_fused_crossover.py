@@ -11,6 +11,7 @@ Run on the real chip:  python scripts/measure_fused_crossover.py
 (CPU runs use interpret mode and are NOT meaningful for the threshold.)
 """
 
+import argparse
 import json
 import sys
 import time
@@ -18,7 +19,8 @@ import time
 import numpy as np
 
 
-def main(group_size=16, n_buckets=2, k=100, dim=1024, struct=20, iters=8):
+def main(group_size=16, n_buckets=2, k=100, dim=1024, struct=20, iters=8,
+         widths=(256, 512, 1024, 2048, 4096, 8192, 16384, 32768)):
     import jax
     import jax.numpy as jnp
 
@@ -37,7 +39,7 @@ def main(group_size=16, n_buckets=2, k=100, dim=1024, struct=20, iters=8):
     q_table = jnp.asarray(rng.normal(size=(n_questions, dim)).astype(np.float32))
 
     rows = []
-    for m_pad in (256, 512, 1024, 2048, 4096, 8192, 16384, 32768):
+    for m_pad in widths:
         n_pad = min(max(64, m_pad // 2), 4096)
         B, G = n_buckets, group_size
         eidx = rng.integers(0, n_pad - 1, size=(B, G, 2, m_pad)).astype(np.int16)
@@ -84,4 +86,11 @@ def main(group_size=16, n_buckets=2, k=100, dim=1024, struct=20, iters=8):
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--widths", type=int, nargs="+",
+                    default=[256, 512, 1024, 2048, 4096, 8192, 16384, 32768])
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--dim", type=int, default=1024)
+    ap.add_argument("--k", type=int, default=100)
+    a = ap.parse_args()
+    main(iters=a.iters, dim=a.dim, k=a.k, widths=tuple(a.widths))
