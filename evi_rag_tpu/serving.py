@@ -313,24 +313,29 @@ def serve_split(
         projected = project_tables(bundle, entity_emb, relation_emb)
     ent_t, rel_t = projected
     # Tables upload once per call (once per checkpoint via ``projected``
-    # reuse); per group only int32 ids and masks cross the link.
-    put = jnp.asarray
+    # reuse); per window only small integer feeds cross the link.
     put_table = jnp.asarray
+    win_sh = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_dev = mesh.devices.size
         group_size = -(-group_size // n_dev) * n_dev
-        batch_sh = NamedSharding(mesh, P(mesh.axis_names[0]))
-        # device_put straight from host numpy: jnp.asarray first would
-        # commit to device 0 and pay a second device-to-device scatter.
-        put = lambda x: jax.device_put(np.asarray(x), batch_sh)
         repl = NamedSharding(mesh, P())
         put_table = lambda x: jax.device_put(jnp.asarray(x), repl)
+        # Window feeds are [B, G, ...]: shard the QUESTION axis (per-question
+        # scoring has no cross-question communication, so DP is the natural
+        # serving axis); lax.map walks the bucket axis sequentially.
+        win_sh = NamedSharding(mesh, P(None, mesh.axis_names[0]))
     ent_t_dev = put_table(np.ascontiguousarray(ent_t))
     rel_t_dev = put_table(np.ascontiguousarray(rel_t))
     jax.block_until_ready(ent_t_dev)
     index_build_s = time.perf_counter() - t0
+
+    def put_win(x: np.ndarray):
+        # device_put straight from host numpy: jnp.asarray first would
+        # commit to device 0 and pay a second device-to-device scatter.
+        return jax.device_put(x, win_sh) if win_sh is not None else jnp.asarray(x)
 
     order = sorted(range(len(samples)), key=lambda i: samples[i].edge_index.shape[1])
     results: list[ServeResult | None] = [None] * len(samples)
@@ -348,218 +353,157 @@ def serve_split(
                 scores=vals_np[g][keep].astype(np.float32),
             )
 
-    def pack_group(group, G, m_pad, n_pad):
-        head_rows = np.zeros((G, m_pad), np.int32)
-        rel_ids = np.zeros((G, m_pad), np.int32)
-        tail_rows = np.zeros((G, m_pad), np.int32)
-        topic = np.zeros((G, n_pad, 2), np.float32)
-        eidx = np.full((G, 2, m_pad), n_pad - 1, np.int32)
-        emask = np.zeros((G, m_pad), bool)
-        qids = np.zeros(G, np.int32)
-        for g, s in enumerate(group):
-            e = s.edge_index.shape[1]
-            rows = s.node_embedding_ids
-            head_rows[g, :e] = rows[s.edge_index[0]]
-            tail_rows[g, :e] = rows[s.edge_index[1]]
-            rel_ids[g, :e] = s.edge_relations
-            topic[g, s.topic_locals, 0] = 1.0
-            non_topic = np.setdiff1d(np.arange(s.num_nodes), s.topic_locals)
-            topic[g, non_topic, 1] = 1.0
-            eidx[g, :, :e] = s.edge_index
-            emask[g, :e] = True
-            qids[g] = s.question_id
-        return dict(head_rows=head_rows, rel_ids=rel_ids, tail_rows=tail_rows,
-                    topic=topic, eidx=eidx, emask=emask, qids=qids)
-
     t1 = time.perf_counter()
     num_groups = 0
     pack_s = 0.0
     dispatch_s = drain_s = 0.0
 
-    def dispatch_group(q_dev, u, *, m_pad):
-        """Score one group from device-resident field tensors (async).
+    # Unified windowed path (single-device AND DP mesh).  On remote-attached
+    # TPUs the wall clock is dominated by per-RPC latency (measured: a
+    # 256-question split whose compute is <100 ms spent seconds on per-group
+    # feeds and per-op dispatches), so the whole split runs as:
+    # (a) groups sharing a padded bucket shape stack into ONE contiguous
+    #     [B, G, ...] upload per field,
+    # (b) ONE dispatched ``serve_window`` computation per bucket
+    #     (``lax.map`` over its groups; question table device-resident,
+    #     groups carry int32 question ids only),
+    # (c) ONE [B, G, k] result fetch per bucket.
+    # With ``mesh`` the feeds shard their question axis (``win_sh``) and XLA
+    # partitions the same program over the devices -- multi-chip serving
+    # inherits the RPC-collapse + byte-minimal feeds for free.
+    # Windows bound device memory for very large splits -- by ESTIMATED
+    # STAGED BYTES (not sample count: a window of uniformly wide-m_pad
+    # samples would otherwise stack multi-GB feeds on device; ADVICE r3).
+    q_table = put_table(np.ascontiguousarray(question_emb.astype(np.float32)))
+    max_window_samples = group_size * max(8, 8192 // max(group_size, 1))
+    byte_budget = int(os.environ.get("EVI_SERVE_WINDOW_BYTES", 256 << 20))
+    interp = (
+        fused_interpret if fused_interpret is not None
+        else jax.default_backend() == "cpu"
+    )
+    rel_dtype = np.int16 if relation_emb.shape[0] <= 32767 else np.int32
 
-        Mesh-path only: the question axis shards over devices via the XLA
-        scorer (the fused Pallas kernel runs in the single-device path's
-        ``serve_window``; per-shard Pallas under ``shard_map`` lives in
-        ``query_topk_sharded_fused`` for the pooled-index surface).
-        """
-        del m_pad
-        return serve_group(
-            bundle, q_dev, ent_t_dev, rel_t_dev,
-            u["head_rows"], u["rel_ids"], u["tail_rows"],
-            u["topic"], u["eidx"], u["emask"],
-            k=k, num_rounds=num_rounds,
-            num_reverse_rounds=num_reverse_rounds, dtype=dtype,
+    def pack_group_compact(group, G, m_pad, n_pad):
+        """Byte-minimal feed for one group (local ids; rows expand to
+        per-edge entity-table rows on device)."""
+        eidx_dtype = np.int16 if n_pad <= 32768 else np.int32
+        eidx = np.full((G, 2, m_pad), n_pad - 1, eidx_dtype)
+        node_rows = np.zeros((G, n_pad), np.int32)
+        rel_ids = np.zeros((G, m_pad), rel_dtype)
+        lengths = np.zeros(G, np.int32)
+        topic = np.zeros((G, n_pad), np.uint8)
+        ncnt = np.zeros(G, np.int32)
+        qids = np.zeros(G, np.int32)
+        for g, s in enumerate(group):
+            e = s.edge_index.shape[1]
+            eidx[g, :, :e] = s.edge_index
+            node_rows[g, : s.num_nodes] = s.node_embedding_ids
+            rel_ids[g, :e] = s.edge_relations
+            lengths[g] = e
+            topic[g, s.topic_locals] = 1
+            ncnt[g] = s.num_nodes
+            qids[g] = s.question_id
+        return dict(eidx=eidx, node_rows=node_rows, rel_ids=rel_ids,
+                    lengths=lengths, topic=topic, ncnt=ncnt, qids=qids)
+
+    # Group boundaries + padded shapes first, then cut windows greedily
+    # where the staged-feed estimate would exceed the byte budget.
+    group_recs = []
+    for g0 in range(0, len(order), group_size):
+        idxs = order[g0 : g0 + group_size]
+        group = [samples[i] for i in idxs]
+        m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
+        m_pad = max(m_pad, _pow2_at_least(k))
+        n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
+        eidx_isz = 2 if n_pad <= 32768 else 4
+        bytes_est = group_size * (
+            2 * m_pad * eidx_isz                       # eidx [2, m_pad]
+            + m_pad * np.dtype(rel_dtype).itemsize     # rel_ids
+            + n_pad * 4 + n_pad                        # node_rows + topic
         )
-
-    if mesh is None:
-        # Packed single-device path.  On remote-attached TPUs the wall
-        # clock is dominated by per-RPC latency (measured: a 256-question
-        # split whose compute is <100 ms spent seconds on per-group feeds
-        # and per-op dispatches), so the whole split runs as:
-        # (a) groups sharing a padded bucket shape stack into ONE contiguous
-        #     [B, G, ...] upload per field,
-        # (b) ONE dispatched ``serve_window`` computation per bucket
-        #     (``lax.map`` over its groups; question table device-resident,
-        #     groups carry int32 question ids only),
-        # (c) ONE [B, G, k] result fetch per bucket.
-        # Windows bound device memory for very large splits -- by ESTIMATED
-        # STAGED BYTES (not sample count: a window of uniformly wide-m_pad
-        # samples would otherwise stack multi-GB feeds on device; ADVICE r3).
-        q_table = jnp.asarray(np.ascontiguousarray(question_emb.astype(np.float32)))
-        max_window_samples = group_size * max(8, 8192 // max(group_size, 1))
-        byte_budget = int(os.environ.get("EVI_SERVE_WINDOW_BYTES", 256 << 20))
-        interp = (
-            fused_interpret if fused_interpret is not None
-            else jax.default_backend() == "cpu"
-        )
-        rel_dtype = np.int16 if relation_emb.shape[0] <= 32767 else np.int32
-
-        def pack_group_compact(group, G, m_pad, n_pad):
-            """Byte-minimal feed for one group (local ids; rows expand to
-            per-edge entity-table rows on device)."""
-            eidx_dtype = np.int16 if n_pad <= 32768 else np.int32
-            eidx = np.full((G, 2, m_pad), n_pad - 1, eidx_dtype)
-            node_rows = np.zeros((G, n_pad), np.int32)
-            rel_ids = np.zeros((G, m_pad), rel_dtype)
-            lengths = np.zeros(G, np.int32)
-            topic = np.zeros((G, n_pad), np.uint8)
-            ncnt = np.zeros(G, np.int32)
-            qids = np.zeros(G, np.int32)
-            for g, s in enumerate(group):
-                e = s.edge_index.shape[1]
-                eidx[g, :, :e] = s.edge_index
-                node_rows[g, : s.num_nodes] = s.node_embedding_ids
-                rel_ids[g, :e] = s.edge_relations
-                lengths[g] = e
-                topic[g, s.topic_locals] = 1
-                ncnt[g] = s.num_nodes
-                qids[g] = s.question_id
-            return dict(eidx=eidx, node_rows=node_rows, rel_ids=rel_ids,
-                        lengths=lengths, topic=topic, ncnt=ncnt, qids=qids)
-
-        # Group boundaries + padded shapes first, then cut windows greedily
-        # where the staged-feed estimate would exceed the byte budget.
-        group_recs = []
-        for g0 in range(0, len(order), group_size):
-            idxs = order[g0 : g0 + group_size]
-            group = [samples[i] for i in idxs]
-            m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
-            m_pad = max(m_pad, _pow2_at_least(k))
-            n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
-            eidx_isz = 2 if n_pad <= 32768 else 4
-            bytes_est = group_size * (
-                2 * m_pad * eidx_isz                       # eidx [2, m_pad]
-                + m_pad * np.dtype(rel_dtype).itemsize     # rel_ids
-                + n_pad * 4 + n_pad                        # node_rows + topic
-            )
-            group_recs.append((idxs, group, (m_pad, n_pad), bytes_est))
-        windows: list[list[tuple]] = []
-        cur: list[tuple] = []
-        cur_bytes = cur_samples = 0
-        for rec in group_recs:
-            if cur and (
-                cur_bytes + rec[3] > byte_budget
-                or cur_samples + group_size > max_window_samples
-            ):
-                windows.append(cur)
-                cur, cur_bytes, cur_samples = [], 0, 0
-            cur.append(rec)
-            cur_bytes += rec[3]
-            cur_samples += group_size
-        if cur:
+        group_recs.append((idxs, group, (m_pad, n_pad), bytes_est))
+    windows: list[list[tuple]] = []
+    cur: list[tuple] = []
+    cur_bytes = cur_samples = 0
+    for rec in group_recs:
+        if cur and (
+            cur_bytes + rec[3] > byte_budget
+            or cur_samples + group_size > max_window_samples
+        ):
             windows.append(cur)
+            cur, cur_bytes, cur_samples = [], 0, 0
+        cur.append(rec)
+        cur_bytes += rec[3]
+        cur_samples += group_size
+    if cur:
+        windows.append(cur)
 
-        for win_groups in windows:
-            tp = time.perf_counter()
-            packed: dict[tuple, list[dict]] = {}
-            metas: dict[tuple, list[tuple]] = {}  # key -> [(idxs, group)]
-            for idxs, group, key, _ in win_groups:
-                # Fixed G = group_size: one compiled shape per bucket; the
-                # trailing partial group pads with empty questions.
-                packed.setdefault(key, []).append(
-                    pack_group_compact(group, group_size, *key)
-                )
-                metas.setdefault(key, []).append((idxs, group))
-            # Pad each bucket's group count to pow-2 (bounds compile count
-            # per (m_pad, n_pad); empty pad groups score to -inf and drop).
-            for key, lst in packed.items():
-                b_pad = _pow2_at_least(len(lst), lo=1)
-                empty = {f: np.zeros_like(v) for f, v in lst[0].items()}
-                empty["eidx"] = np.full_like(lst[0]["eidx"], key[1] - 1)
-                lst.extend(empty for _ in range(b_pad - len(lst)))
-            pack_s += time.perf_counter() - tp
-
-            td = time.perf_counter()
-            pend = []
-            for key, lst in packed.items():
-                u = {f: jnp.asarray(np.stack([a[f] for a in lst])) for f in lst[0]}
-                vals, ids = serve_window(
-                    bundle, q_table, ent_t_dev, rel_t_dev,
-                    u["eidx"], u["node_rows"], u["rel_ids"],
-                    u["lengths"], u["topic"], u["ncnt"], u["qids"],
-                    k=k, num_rounds=num_rounds,
-                    num_reverse_rounds=num_reverse_rounds, dtype=dtype,
-                    # The fused kernel computes in bf16 internally; an
-                    # explicit float32 request must keep the XLA scorer.
-                    use_fused=(key[0] >= fused_threshold and dtype == jnp.bfloat16),
-                    interpret=interp,
-                )
-                pend.append((key, vals, ids))
-                num_groups += len(metas[key])
-            dispatch_s += time.perf_counter() - td
-
-            t2 = time.perf_counter()
-            # ONE fetch per window, not per bucket: each np.asarray pays a
-            # full tunnel round trip, so buckets' [B, G, k] results concat
-            # on device (bytes are tiny -- k floats+ids per question) and
-            # cross the link together.
-            all_v = np.asarray(
-                jnp.concatenate([v.reshape(-1, v.shape[-1]) for _, v, _ in pend])
+    for win_groups in windows:
+        tp = time.perf_counter()
+        packed: dict[tuple, list[dict]] = {}
+        metas: dict[tuple, list[tuple]] = {}  # key -> [(idxs, group)]
+        for idxs, group, key, _ in win_groups:
+            # Fixed G = group_size: one compiled shape per bucket; the
+            # trailing partial group pads with empty questions.
+            packed.setdefault(key, []).append(
+                pack_group_compact(group, group_size, *key)
             )
-            all_i = np.asarray(
-                jnp.concatenate([i_.reshape(-1, i_.shape[-1]) for _, _, i_ in pend])
+            metas.setdefault(key, []).append((idxs, group))
+        # Pad each bucket's group count to pow-2 (bounds compile count
+        # per (m_pad, n_pad); empty pad groups score to -inf and drop).
+        for key, lst in packed.items():
+            b_pad = _pow2_at_least(len(lst), lo=1)
+            empty = {f: np.zeros_like(v) for f, v in lst[0].items()}
+            empty["eidx"] = np.full_like(lst[0]["eidx"], key[1] - 1)
+            lst.extend(empty for _ in range(b_pad - len(lst)))
+        pack_s += time.perf_counter() - tp
+
+        td = time.perf_counter()
+        pend = []
+        for key, lst in packed.items():
+            u = {f: put_win(np.stack([a[f] for a in lst])) for f in lst[0]}
+            vals, ids = serve_window(
+                bundle, q_table, ent_t_dev, rel_t_dev,
+                u["eidx"], u["node_rows"], u["rel_ids"],
+                u["lengths"], u["topic"], u["ncnt"], u["qids"],
+                k=k, num_rounds=num_rounds,
+                num_reverse_rounds=num_reverse_rounds, dtype=dtype,
+                # The fused kernel computes in bf16 internally; an explicit
+                # float32 request must keep the XLA scorer.  Under a mesh the
+                # XLA scorer partitions over the question axis (a pallas_call
+                # does not auto-partition; per-shard Pallas lives in
+                # ``query_topk_sharded_fused`` for the pooled-index surface).
+                use_fused=(
+                    mesh is None
+                    and key[0] >= fused_threshold
+                    and dtype == jnp.bfloat16
+                ),
+                interpret=interp,
             )
-            off = 0
-            for key, vals, _ in pend:
-                b_pad, g_per = vals.shape[0], vals.shape[1]
-                for gi, (idxs, group) in enumerate(metas[key]):
-                    row = off + gi * g_per
-                    drain((idxs, group, all_v[row : row + g_per],
-                           all_i[row : row + g_per]))
-                off += b_pad * g_per
-            drain_s += time.perf_counter() - t2
-    else:
-        # DP-sharded path: per-group device_put with the question axis
-        # sharded over the mesh; per-group drain (the mesh path is about
-        # multi-chip correctness, not tunnel-latency tuning).
-        pending: list[tuple] = []
-        max_in_flight = 32
-        n_dev = mesh.devices.size
-        for g0 in range(0, len(order), group_size):
-            idxs = order[g0 : g0 + group_size]
-            group = [samples[i] for i in idxs]
-            tp = time.perf_counter()
-            m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
-            m_pad = max(m_pad, _pow2_at_least(k))
-            n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
-            G = -(-len(group) // n_dev) * n_dev  # pad with empty questions
-            arrs = pack_group(group, G, m_pad, n_pad)
-            qs = question_emb[arrs.pop("qids")].astype(np.float32)
-            pack_s += time.perf_counter() - tp
-            u = {f: put(v) for f, v in arrs.items()}
-            vals, ids = dispatch_group(put(qs), u, m_pad=m_pad)
-            num_groups += 1
-            pending.append((idxs, group, vals, ids))
-            if len(pending) >= max_in_flight:
-                drain(pending.pop(0))
-        dispatch_s = time.perf_counter() - t1
+            pend.append((key, vals, ids))
+            num_groups += len(metas[key])
+        dispatch_s += time.perf_counter() - td
 
         t2 = time.perf_counter()
-        for entry in pending:
-            drain(entry)
-        drain_s = time.perf_counter() - t2
+        # ONE fetch per window, not per bucket: each np.asarray pays a
+        # full tunnel round trip, so buckets' [B, G, k] results concat
+        # on device (bytes are tiny -- k floats+ids per question) and
+        # cross the link together.
+        all_v = np.asarray(
+            jnp.concatenate([v.reshape(-1, v.shape[-1]) for _, v, _ in pend])
+        )
+        all_i = np.asarray(
+            jnp.concatenate([i_.reshape(-1, i_.shape[-1]) for _, _, i_ in pend])
+        )
+        off = 0
+        for key, vals, _ in pend:
+            b_pad, g_per = vals.shape[0], vals.shape[1]
+            for gi, (idxs, group) in enumerate(metas[key]):
+                row = off + gi * g_per
+                drain((idxs, group, all_v[row : row + g_per],
+                       all_i[row : row + g_per]))
+            off += b_pad * g_per
+        drain_s += time.perf_counter() - t2
 
     scoring_s = time.perf_counter() - t1
     out = [r for r in results if r is not None]
