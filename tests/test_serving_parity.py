@@ -338,3 +338,36 @@ def test_serve_task_reprojects_per_split(tmp_path):
     multi = run(["validation", "test"])
     solo = run(["test"])
     assert multi["test/serve/recall@5"] == solo["test/serve/recall@5"]
+
+
+def test_serve_split_dp_odd_group_size_and_counts():
+    """DP windowed serving handles a group_size that is NOT a multiple of the
+    device count (rounded up) and a sample count that leaves a partial
+    trailing group (padded with empty questions): every question returns and
+    matches the single-device result set (unified window path, round 4)."""
+    from evi_rag_tpu.parallel.mesh import make_mesh
+    from evi_rag_tpu.serving import serve_split
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    ds = make_synthetic_dataset(num_samples=11, emb_dim=EMB, max_nodes=14, seed=23)
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    bucket = Bucket(graphs=2, nodes=64, edges=256)
+    b0 = collate_retriever(
+        ds.samples[:1], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    params = jax.jit(model.init)(jax.random.key(5), b0)
+    bundle = export_retriever_features(params["params"], model.parity_meta())
+    kw = dict(entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+              question_emb=ds.question_emb, k=8, num_rounds=2,
+              num_reverse_rounds=2, dtype=jnp.float32)
+    res_1d, _ = serve_split(bundle, ds.samples, group_size=5, **kw)
+    res_dp, stats = serve_split(
+        bundle, ds.samples, group_size=5, mesh=make_mesh(8), **kw
+    )
+    assert stats.num_questions == len(ds.samples) == len(res_dp)
+    by_id = {r.sample_id: r for r in res_dp}
+    for r in res_1d:
+        got = by_id[r.sample_id]
+        assert set(got.edge_ids.tolist()) == set(r.edge_ids.tolist()), r.sample_id
