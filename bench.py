@@ -560,7 +560,38 @@ def bench_gflownet_step():
                 state_off, m = step_off(state_off, batch, fe)
             float(m["loss"])
             dt_off = min(dt_off, (time.perf_counter() - t1) / iters)
-    return 16 / dt, 16 / dt_cached, 16 / dt16, (16 / dt_off if dt_off else None)
+
+    # Sample-then-score rollout (VERDICT r3 #5 restructure): forward-only
+    # sampling scan + one batched differentiable score pass; measured on the
+    # cached-embed path in both f32 and bf16-policy forms.
+    def _timed_step(cfg_v):
+        mods_v = build_modules(cfg_v)
+        params_v = init_gflownet_params(cfg_v, mods_v, bundle, batch, seed=0)
+        tx_v = setup_optimizer(cfg_v.optimizer, params_v)
+        st_v = TrainState(
+            params=params_v, opt_state=jax.jit(tx_v.init)(params_v),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+        )
+        step_v = make_gfn_train_step(mods_v, tx_v, cfg_v, bundle)
+        st_v, mv = step_v(st_v, batch, fe)
+        float(mv["loss"])
+        best = float("inf")
+        for _ in range(3):
+            t1 = time.perf_counter()
+            for _ in range(iters):
+                st_v, mv = step_v(st_v, batch, fe)
+            float(mv["loss"])
+            best = min(best, (time.perf_counter() - t1) / iters)
+        return best
+
+    dt_sts = _timed_step(_dc.replace(cfg, sample_then_score=True))
+    dt_sts16 = _timed_step(
+        _dc.replace(cfg, sample_then_score=True, compute_dtype="bfloat16")
+    )
+    return (
+        16 / dt, 16 / dt_cached, 16 / dt16,
+        (16 / dt_off if dt_off else None), 16 / dt_sts, 16 / dt_sts16,
+    )
 
 
 def bench_serve_surface(num_questions: int = 256, dim: int = 1024, k: int = 100):
@@ -709,12 +740,15 @@ def main():
         details["train_step_graphs_per_sec"] = round(bench_train_step(), 2)
 
     def _gfn():
-        gfn_qps, gfn_qps_cached, gfn_qps_bf16, gfn_qps_noprecomp = bench_gflownet_step()
+        (gfn_qps, gfn_qps_cached, gfn_qps_bf16, gfn_qps_noprecomp,
+         gfn_qps_sts, gfn_qps_sts16) = bench_gflownet_step()
         details["gflownet_step_graphs_per_sec"] = round(gfn_qps, 2)
         details["gflownet_step_graphs_per_sec_cached_embed"] = round(gfn_qps_cached, 2)
         details["gflownet_step_graphs_per_sec_bf16_policy"] = round(gfn_qps_bf16, 2)
         if gfn_qps_noprecomp:
             details["gflownet_step_graphs_per_sec_no_precompute"] = round(gfn_qps_noprecomp, 2)
+        details["gflownet_step_graphs_per_sec_sts"] = round(gfn_qps_sts, 2)
+        details["gflownet_step_graphs_per_sec_sts_bf16"] = round(gfn_qps_sts16, 2)
 
     def _serve():
         stats = bench_serve_surface()

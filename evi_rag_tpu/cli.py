@@ -341,19 +341,29 @@ def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         )
     val_samples, _, _, q_val = _load_split(cfg, "validation")
     bucket = fixed_bucket_for(list(train_samples) + list(val_samples), per_shard)
+    # Device-resident embedding tables (default on): entity/relation tables
+    # upload once; batches feed int32 rows only and the jitted step gathers
+    # on device -- the training-path twin of the serve surface's resident
+    # projected tables (O(GB/step) -> O(KB/step) host->device at WebQSP scale).
+    use_tables = bool(t.get("device_tables", True))
+    tables = None
+    if use_tables:
+        from evi_rag_tpu.models.batches import make_tables
+
+        tables = make_tables(ent, rel)
 
     def train_batches(epoch: int):
         return iter_stacked_batches(
             train_samples, num_shards=num_shards, per_shard_batch=per_shard,
             entity_emb=ent, relation_emb=rel, question_emb=q_train,
-            bucket=bucket, seed=epoch,
+            bucket=bucket, seed=epoch, id_feed=use_tables,
         )
 
     def val_batches():
         for i in range(0, len(val_samples), per_shard):
             yield collate_retriever(
                 val_samples[i : i + per_shard], entity_emb=ent, relation_emb=rel,
-                question_emb=q_val, bucket=bucket,
+                question_emb=q_val, bucket=bucket, id_feed=use_tables,
             )
 
     mesh = None
@@ -369,6 +379,7 @@ def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     best_params, info = fit(
         model, tcfg, train_batches, val_batches,
         seed=int(t.get("seed", 0)), resume_from=t.get("resume_from"), mesh=mesh,
+        tables=tables,
     )
     mlog = MetricLogger(run_dir)
     for h in info["history"]:
@@ -387,7 +398,7 @@ def task_train_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         opt_state=info["final_state"].opt_state,
         step=int(info["final_state"].step),
     )
-    eval_step = make_eval_step(model, tcfg)
+    eval_step = make_eval_step(model, tcfg, tables=tables)
     final = evaluate(best_params, eval_step, val_batches())
     metrics = {**final, "best_ckpt_sha256": digest, "epochs": len(info["history"])}
     save_metrics_json(run_dir / "metrics.json", metrics)
@@ -478,7 +489,13 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             int(ag["start_max_edges"]) if ag.get("start_max_edges") is not None else None
         ),
     )
-    eval_step = make_eval_step(model, tcfg)
+    use_tables = bool(e.get("device_tables", True))
+    tables = None
+    if use_tables:
+        from evi_rag_tpu.models.batches import make_tables
+
+        tables = make_tables(first_ent, first_rel)
+    eval_step = make_eval_step(model, tcfg, tables=tables)
     per_batch = int(e.get("batch_size", 8))
     # Vocab texts + question strings for the top-k artifact's reference
     # schema (null when the dataset carries no normalized vocab/questions).
@@ -496,7 +513,7 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             for i in range(0, len(samples), per_batch):
                 yield collate_retriever(
                     samples[i : i + per_batch], entity_emb=ent, relation_emb=rel,
-                    question_emb=q, bucket=bucket,
+                    question_emb=q, bucket=bucket, id_feed=use_tables,
                 )
 
         split_metrics = evaluate(params, eval_step, batches())
@@ -653,10 +670,13 @@ def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
         cache_frozen_embed=bool(g.get("cache_frozen_embed", False)),
         compute_dtype=str(g.get("compute_dtype", "float32")),
         precompute_policy=bool(g.get("precompute_policy", True)),
+        sample_then_score=bool(g.get("sample_then_score", False)),
     )
 
 
-def _agent_batches_fn(cfg: dict, split: str, batch_size: int, *, seed: int = 0):
+def _agent_batches_fn(
+    cfg: dict, split: str, batch_size: int, *, seed: int = 0, id_feed: bool = False
+):
     from evi_rag_tpu.data.feeder import collate_agent, fixed_agent_bucket
     from evi_rag_tpu.eval.artifacts import load_agent_store
 
@@ -677,9 +697,12 @@ def _agent_batches_fn(cfg: dict, split: str, batch_size: int, *, seed: int = 0):
             np.random.default_rng([seed, epoch]).shuffle(order)
         for i in range(0, len(order), batch_size):
             chunk = [agent_samples[j] for j in order[i : i + batch_size]]
-            yield collate_agent(chunk, entity_emb=ent, relation_emb=rel, question_emb=q, bucket=bucket)
+            yield collate_agent(
+                chunk, entity_emb=ent, relation_emb=rel, question_emb=q,
+                bucket=bucket, id_feed=id_feed,
+            )
 
-    return agent_samples, batches
+    return agent_samples, batches, (ent, rel)
 
 
 @task_wrapper
@@ -707,11 +730,20 @@ def task_train_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     bs = int(cfg.get("gflownet", {}).get("batch_size", 8))
 
     run_seed = int(cfg.get("gflownet", {}).get("seed", 0))
-    _, train_batches = _agent_batches_fn(cfg, "train", bs, seed=run_seed)
-    _, val_batches = _agent_batches_fn(cfg, "validation", bs)
+    use_tables = bool(cfg.get("gflownet", {}).get("device_tables", True))
+    _, train_batches, emb = _agent_batches_fn(
+        cfg, "train", bs, seed=run_seed, id_feed=use_tables
+    )
+    _, val_batches, _ = _agent_batches_fn(cfg, "validation", bs, id_feed=use_tables)
+    tables = None
+    if use_tables:
+        from evi_rag_tpu.models.batches import make_tables
+
+        tables = make_tables(*emb)
 
     best_params, info = fit_gflownet(
-        gcfg, bundle, train_batches, lambda: val_batches(), seed=run_seed
+        gcfg, bundle, train_batches, lambda: val_batches(), seed=run_seed,
+        tables=tables,
     )
     ckpt_dir = pathlib.Path(cfg.get("gflownet", {}).get("ckpt_dir", run_dir / "ckpt"))
     # Re-export retriever_meta incl. the retriever ckpt digest so eval can
@@ -774,10 +806,23 @@ def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     artifacts_dir = pathlib.Path(cfg.get("eval", {}).get("artifacts_dir", run_dir / "artifacts"))
     id2e, id2r = _vocab_maps(cfg)
 
-    eval_step = make_gfn_eval_step(modules, gcfg, bundle, num_rollouts=num_rollouts)
+    use_tables = bool(cfg.get("gflownet", {}).get("device_tables", True))
+    tables = None
+    mat = lambda b: b  # noqa: E731
+    if use_tables:
+        from evi_rag_tpu.models.batches import make_tables, materialize_agent_batch
+
+        _, ent0, rel0, _ = _load_split(cfg, splits[0])
+        tables = make_tables(ent0, rel0)
+        mat = jax.jit(lambda b: materialize_agent_batch(b, tables))
+    eval_step = make_gfn_eval_step(
+        modules, gcfg, bundle, num_rollouts=num_rollouts, tables=tables
+    )
     all_metrics: dict[str, Any] = {}
     for split in splits:
-        agent_samples, batches = _agent_batches_fn(cfg, split, bs)
+        agent_samples, batches, _ = _agent_batches_fn(
+            cfg, split, bs, id_feed=use_tables
+        )
         m = evaluate_gflownet(
             params, eval_step, batches(), rng=jax.random.key(7), ks=gcfg.eval_rollout_prefixes
         )
@@ -787,6 +832,7 @@ def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         records = []
         idx = 0
         for batch in batches():
+            batch = mat(batch)
             embed = embed_agent_batch(bundle, batch, edge_score_proj=params["edge_score_proj"])
             ros = []
             for r in range(num_rollouts):

@@ -105,8 +105,16 @@ def collate_retriever(
     question_emb: np.ndarray,
     bucket: Bucket,
     with_pairs: bool = False,
+    id_feed: bool = False,
 ) -> RetrieverBatch | tuple[RetrieverBatch, PairSupervision]:
-    """Gather embeddings + pack one padded RetrieverBatch (host-side numpy)."""
+    """Gather embeddings + pack one padded RetrieverBatch (host-side numpy).
+
+    ``id_feed=True`` skips the dense host gathers and emits int32 table rows
+    instead (``node_rows``/``edge_rows``; padding rows point at the tables'
+    zero pad row) -- the step materializes them on device from a resident
+    ``EmbedTables``, so only ~KBs of ids cross the host->device link per
+    batch instead of the [E, D] float gathers (O(GB/step) at WebQSP scale
+    over a remote-attached chip)."""
     G, N, E = bucket.graphs, bucket.nodes, bucket.edges
     pad_graph = G - 1
 
@@ -118,12 +126,18 @@ def collate_retriever(
         bucket_edges=E,
     )
 
-    node_emb = np.zeros((N, entity_emb.shape[1]), dtype=np.float32)
+    if id_feed:
+        node_rows = np.full(N, entity_emb.shape[0], dtype=np.int32)
+        edge_rows = np.full(E, relation_emb.shape[0], dtype=np.int32)
+        node_emb = edge_emb = None
+    else:
+        node_emb = np.zeros((N, entity_emb.shape[1]), dtype=np.float32)
+        edge_emb = np.zeros((E, relation_emb.shape[1]), dtype=np.float32)
+        node_rows = edge_rows = None
     node_is_nontext = np.zeros(N, dtype=bool)
     topic_one_hot = np.zeros((N, 2), dtype=np.float32)
     node_is_q = np.zeros(N, dtype=bool)
     node_is_a = np.zeros(N, dtype=bool)
-    edge_emb = np.zeros((E, relation_emb.shape[1]), dtype=np.float32)
     edge_labels = np.zeros(E, dtype=np.float32)
     q_emb = np.zeros((G, question_emb.shape[1]), dtype=np.float32)
 
@@ -132,14 +146,18 @@ def collate_retriever(
     for g, s in enumerate(samples):
         nn, ne = s.num_nodes, s.edge_index.shape[1]
         ids = s.node_embedding_ids
-        node_emb[n_off : n_off + nn] = entity_emb[ids]
+        if id_feed:
+            node_rows[n_off : n_off + nn] = ids
+            edge_rows[e_off : e_off + ne] = s.edge_relations
+        else:
+            node_emb[n_off : n_off + nn] = entity_emb[ids]
+            edge_emb[e_off : e_off + ne] = relation_emb[s.edge_relations]
         node_is_nontext[n_off : n_off + nn] = ids == 0
         topic_one_hot[n_off + s.topic_locals, 0] = 1.0
         non_topic = np.setdiff1d(np.arange(nn), s.topic_locals)
         topic_one_hot[n_off + non_topic, 1] = 1.0
         node_is_q[n_off + s.topic_locals] = True
         node_is_a[n_off + s.answer_locals] = True
-        edge_emb[e_off : e_off + ne] = relation_emb[s.edge_relations]
         edge_labels[e_off : e_off + ne] = s.edge_labels.astype(np.float32)
         q_emb[g] = question_emb[s.question_id]
         n_off += nn
@@ -147,14 +165,16 @@ def collate_retriever(
 
     batch = RetrieverBatch(
         graph=gb,
-        node_emb=jnp.asarray(node_emb),
+        node_emb=None if id_feed else jnp.asarray(node_emb),
         node_is_nontext=jnp.asarray(node_is_nontext),
-        edge_emb=jnp.asarray(edge_emb),
+        edge_emb=None if id_feed else jnp.asarray(edge_emb),
         question_emb=jnp.asarray(q_emb),
         topic_one_hot=jnp.asarray(topic_one_hot),
         edge_labels=jnp.asarray(edge_labels),
         node_is_q=jnp.asarray(node_is_q),
         node_is_a=jnp.asarray(node_is_a),
+        node_rows=jnp.asarray(node_rows) if id_feed else None,
+        edge_rows=jnp.asarray(edge_rows) if id_feed else None,
     )
     if not with_pairs:
         return batch
@@ -226,8 +246,12 @@ def collate_agent(
     relation_emb: np.ndarray,
     question_emb: np.ndarray,
     bucket: Bucket,
+    id_feed: bool = False,
 ) -> AgentBatch:
-    """Pack agent samples into one padded AgentBatch (GFlowNet env input)."""
+    """Pack agent samples into one padded AgentBatch (GFlowNet env input).
+
+    ``id_feed``: see ``collate_retriever`` -- int32 table rows instead of
+    dense embedding gathers, materialized on device inside the jitted step."""
     G, N, E, P = bucket.graphs, bucket.nodes, bucket.edges, bucket.pairs
     pad_graph = G - 1
 
@@ -242,11 +266,17 @@ def collate_agent(
     )
 
     d = entity_emb.shape[1]
-    node_emb = np.zeros((N, d), dtype=np.float32)
+    if id_feed:
+        node_rows = np.full(N, entity_emb.shape[0], dtype=np.int32)
+        edge_rows = np.full(E, relation_emb.shape[0], dtype=np.int32)
+        node_emb = edge_emb = None
+    else:
+        node_emb = np.zeros((N, d), dtype=np.float32)
+        edge_emb = np.zeros((E, relation_emb.shape[1]), dtype=np.float32)
+        node_rows = edge_rows = None
     node_is_nontext = np.zeros(N, dtype=bool)
     node_is_start = np.zeros(N, dtype=bool)
     node_is_answer = np.zeros(N, dtype=bool)
-    edge_emb = np.zeros((E, relation_emb.shape[1]), dtype=np.float32)
     edge_scores = np.zeros(E, dtype=np.float32)
     edge_relations = np.zeros(E, dtype=np.int32)
     edge_labels = np.zeros(E, dtype=np.float32)
@@ -263,11 +293,15 @@ def collate_agent(
     for g, s in enumerate(samples):
         nn, ne = s.num_nodes, s.num_edges
         ids = s.node_embedding_ids
-        node_emb[n_off : n_off + nn] = entity_emb[ids]
+        if id_feed:
+            node_rows[n_off : n_off + nn] = ids
+            edge_rows[e_off : e_off + ne] = s.edge_relations
+        else:
+            node_emb[n_off : n_off + nn] = entity_emb[ids]
+            edge_emb[e_off : e_off + ne] = relation_emb[s.edge_relations]
         node_is_nontext[n_off : n_off + nn] = ids == 0
         node_is_start[n_off + s.start_node_locals] = True
         node_is_answer[n_off + s.answer_node_locals] = True
-        edge_emb[e_off : e_off + ne] = relation_emb[s.edge_relations]
         edge_scores[e_off : e_off + ne] = s.edge_scores
         edge_relations[e_off : e_off + ne] = s.edge_relations
         edge_labels[e_off : e_off + ne] = s.edge_labels
@@ -290,9 +324,9 @@ def collate_agent(
         graph=gb,
         edge_scores=jnp.asarray(edge_scores),
         edge_relations=jnp.asarray(edge_relations),
-        node_emb=jnp.asarray(node_emb),
+        node_emb=None if id_feed else jnp.asarray(node_emb),
         node_is_nontext=jnp.asarray(node_is_nontext),
-        edge_emb=jnp.asarray(edge_emb),
+        edge_emb=None if id_feed else jnp.asarray(edge_emb),
         question_emb=jnp.asarray(q_emb),
         node_is_start=jnp.asarray(node_is_start),
         node_is_answer=jnp.asarray(node_is_answer),
@@ -305,6 +339,8 @@ def collate_agent(
             pair_shortest_len=jnp.asarray(pair_len),
             pair_mask=jnp.asarray(pair_mask),
         ),
+        node_rows=jnp.asarray(node_rows) if id_feed else None,
+        edge_rows=jnp.asarray(edge_rows) if id_feed else None,
     )
 
 
@@ -316,6 +352,7 @@ def collate_agent_stacked(
     relation_emb: np.ndarray,
     question_emb: np.ndarray,
     bucket: Bucket,
+    id_feed: bool = False,
 ) -> AgentBatch:
     """Stacked data-parallel agent collation (``[D, ...]`` leading axis)."""
     if len(samples) % num_shards != 0:
@@ -325,7 +362,7 @@ def collate_agent_stacked(
         collate_agent(
             samples[i * per : (i + 1) * per],
             entity_emb=entity_emb, relation_emb=relation_emb,
-            question_emb=question_emb, bucket=bucket,
+            question_emb=question_emb, bucket=bucket, id_feed=id_feed,
         )
         for i in range(num_shards)
     ]
@@ -357,6 +394,7 @@ def collate_stacked(
     relation_emb: np.ndarray,
     question_emb: np.ndarray,
     bucket: Bucket,
+    id_feed: bool = False,
 ) -> RetrieverBatch:
     """Stacked data-parallel collation: ``[D, ...]`` leading axis, one padded
     self-contained sub-batch per mesh shard (edge indices stay shard-local,
@@ -371,6 +409,7 @@ def collate_stacked(
             relation_emb=relation_emb,
             question_emb=question_emb,
             bucket=bucket,
+            id_feed=id_feed,
         )
         for i in range(num_shards)
     ]
@@ -388,6 +427,7 @@ def iter_stacked_batches(
     bucket: Bucket | None = None,
     shuffle: bool = True,
     seed: int = 0,
+    id_feed: bool = False,
 ) -> Iterator[RetrieverBatch]:
     """Yield stacked DP batches of ``num_shards * per_shard_batch`` samples."""
     chunk = num_shards * per_shard_batch
@@ -406,6 +446,7 @@ def iter_stacked_batches(
             relation_emb=relation_emb,
             question_emb=question_emb,
             bucket=bucket,
+            id_feed=id_feed,
         )
 
 

@@ -50,6 +50,16 @@ class ActorConfig:
     # f32 reassociation and the dropout rng stream; turn off to run the
     # canonical per-step policy.
     precompute_policy: bool = True
+    # Sample-then-score: run the sequential rollout forward-only (actions,
+    # masks, env snapshots; no autodiff residuals), then recompute every
+    # step's log-probs / BC stats / state embeddings in ONE batched
+    # differentiable pass over the step axis.  The backward pass stops
+    # serializing over T entirely; the scan additionally drops the per-step
+    # segment-logsumexp (Gumbel/greedy argmax is invariant to the per-graph
+    # joint normalizer, so raw temperature-scaled logits sample identically).
+    # Implies ``precompute_policy`` tensors (shared by both passes, so the
+    # dropout stream and edge-axis matmuls are computed once).
+    sample_then_score: bool = False
 
     @property
     def num_steps(self) -> int:
@@ -92,6 +102,14 @@ def rollout(
     dag_edge_mask: jax.Array | None = None,   # [E] bool, enables BC stats
     train: bool = False,
 ) -> dict[str, jax.Array]:
+    if config.sample_then_score:
+        return _rollout_sample_then_score(
+            policy=policy, state_encoder=state_encoder,
+            policy_params=policy_params, encoder_params=encoder_params,
+            batch=batch, embed=embed, rng=rng, config=config, greedy=greedy,
+            forced_actions=forced_actions, dag_edge_mask=dag_edge_mask,
+            train=train,
+        )
     gb = batch.graph
     g = gb.num_graphs
     h = embed.edge_tokens.shape[-1]
@@ -244,6 +262,208 @@ def rollout(
         bc_loss_sum = jnp.sum(bc_losses, axis=0)
         bc_step_counts = jnp.sum(bc_counts, axis=0)
         dag_counts = segment_sum(dag_mask.astype(jnp.float32), gb.edge_batch, g)
+        result["bc_loss_per_graph"] = bc_loss_sum / jnp.maximum(bc_step_counts, 1.0)
+        result["bc_steps_per_graph"] = bc_step_counts
+        result["bc_has_dag"] = (dag_counts > 0).astype(jnp.float32)
+    return result
+
+
+def _rollout_sample_then_score(
+    *,
+    policy: GFlowNetEdgePolicy,
+    state_encoder: StateEncoder,
+    policy_params: Any,
+    encoder_params: Any,
+    batch: AgentBatch,
+    embed: EmbedOutputs,
+    rng: jax.Array,
+    config: ActorConfig,
+    greedy: bool = False,
+    forced_actions: jax.Array | None = None,
+    dag_edge_mask: jax.Array | None = None,
+    train: bool = False,
+) -> dict[str, jax.Array]:
+    """Two-pass rollout: a forward-only sampling scan (no autodiff residuals,
+    no per-step logsumexp), then one batched differentiable score pass over
+    all T steps (VERDICT r3 #5: the sequential-step overhead of the rollout's
+    reverse-mode twin disappears -- the score pass and its backward batch the
+    step axis into single launches).
+
+    Action parity with the canonical path: Gumbel-max / greedy over the joint
+    edges+STOP categorical is invariant to the per-graph log-denominator, so
+    the scan samples on temperature-scaled logits directly.  The score pass
+    shares the sampling pass's ``PolicyStepTensors`` (one dropout stream, one
+    set of edge-axis matmuls), so the recomputed log-probs are exactly the
+    canonical path's log-probs modulo f32 reassociation.  The env's
+    incremental action-history mean is recomputed in closed form (exclusive
+    cumulative sum / count) so gradients flow through the selected edge
+    tokens just as they do through ``env_step`` in the canonical path.
+    """
+    gb = batch.graph
+    g = gb.num_graphs
+    h = embed.edge_tokens.shape[-1]
+    T = config.num_steps
+    temp = config.policy_temperature
+    t_div = max(float(temp), MIN_TEMPERATURE)
+    is_greedy = greedy or temp < MIN_TEMPERATURE
+
+    edge_tokens = embed.edge_tokens.astype(jnp.float32)
+    cache = state_encoder.apply(
+        encoder_params,
+        batch,
+        node_tokens=embed.node_tokens.astype(jnp.float32),
+        question_tokens=embed.question_tokens.astype(jnp.float32),
+        method=StateEncoder.precompute,
+    )
+    pre_rngs = {"dropout": jax.random.fold_in(rng, 987)} if train else None
+    step_tensors = policy.apply(
+        policy_params, edge_tokens, T, train=train,
+        method=GFlowNetEdgePolicy.precompute_steps, rngs=pre_rngs,
+    )
+
+    # ---- pass 1: sampling scan (forward-only) -------------------------
+    # Every float input is stop-gradiented so the scan contributes nothing
+    # to the autodiff graph; its outputs are ints/bools (actions + env-state
+    # snapshots) consumed by the score pass.
+    sg = jax.lax.stop_gradient
+    psg, esg = sg(policy_params), sg(encoder_params)
+    cache_sg, st_sg, tok_sg = sg(cache), sg(step_tensors), sg(edge_tokens)
+
+    state0 = env_reset(
+        batch, max_steps=config.max_steps, hidden_dim=h, stop_on_answer=config.stop_on_answer
+    )
+    step_keys = jax.random.split(rng, T)
+    forced = (
+        forced_actions.astype(jnp.int32).T
+        if forced_actions is not None
+        else jnp.full((T, g), STOP_ACTION, dtype=jnp.int32)
+    )
+
+    def sample_fn(carry, xs):
+        state: EnvState = carry
+        step_idx, key, forced_t, st_t = xs
+        fwd, bwd = candidate_edge_masks(state, batch, max_steps=config.max_steps)
+        valid = (fwd | bwd) & ~state.used_edge_mask
+        snap = (valid, state.active_nodes, state.step_counts, state.done)
+
+        if forced_actions is not None:
+            # Forced replay never consults the policy: the scan is pure env
+            # stepping + snapshot collection.
+            actions = forced_t
+        else:
+            state_tokens = state_encoder.apply(
+                esg, cache_sg, state, batch, method=StateEncoder.encode_state
+            )
+            edge_logits, stop_logits, _ = policy.apply(
+                psg, st_t, state_tokens, gb.edge_batch, valid,
+                method=GFlowNetEdgePolicy.apply_precomputed,
+            )
+            e_scaled = edge_logits.astype(jnp.float32) / t_div
+            s_scaled = stop_logits.astype(jnp.float32) / t_div
+            if is_greedy:
+                score_edge, score_stop = e_scaled, s_scaled
+            else:
+                ge = -jnp.log(-jnp.log(
+                    jax.random.uniform(key, e_scaled.shape, minval=1e-10, maxval=1.0 - 1e-10)
+                ))
+                gs = -jnp.log(-jnp.log(
+                    jax.random.uniform(
+                        jax.random.fold_in(key, 1), s_scaled.shape,
+                        minval=1e-10, maxval=1.0 - 1e-10,
+                    )
+                ))
+                score_edge, score_stop = e_scaled + ge, s_scaled + gs
+            score_edge = jnp.where(valid, score_edge, NEG_INF)
+            max_v, argmax_e = segment_argmax(score_edge, gb.edge_batch, g, mask=valid)
+            has_edge = segment_sum(valid.astype(jnp.float32), gb.edge_batch, g) > 0
+            choose_edge = has_edge & (max_v > score_stop)
+            actions = jnp.where(choose_edge, argmax_e.astype(jnp.int32), STOP_ACTION)
+
+        actions = jnp.where(state.done, STOP_ACTION, actions)
+        sel = jnp.where(actions == STOP_ACTION, 0, actions)
+        sel_emb = jnp.where(
+            (actions != STOP_ACTION)[:, None], tok_sg[sel], jnp.zeros((g, h))
+        )
+        new_state = env_step(
+            state, batch, actions, sel_emb,
+            step_index=step_idx, max_steps=config.max_steps,
+            stop_on_answer=config.stop_on_answer,
+        )
+        return new_state, (actions, *snap)
+
+    xs = (jnp.arange(T, dtype=jnp.int32), step_keys, forced, st_sg)
+    final_state, (actions_t, valid_seq, active_seq, counts_seq, done_seq) = jax.lax.scan(
+        sample_fn, state0, xs, unroll=True if T <= 8 else 1
+    )
+    actions_t = sg(actions_t)
+    valid_seq, active_seq = sg(valid_seq), sg(active_seq)
+    counts_seq, done_seq = sg(counts_seq), sg(done_seq)
+
+    # ---- pass 2: batched differentiable score pass ---------------------
+    acting = actions_t != STOP_ACTION                       # [T, G]
+    safe = jnp.where(acting, actions_t, 0)
+    sel_emb_seq = jnp.where(acting[..., None], edge_tokens[safe], 0.0)  # [T, G, H]
+    # Pre-step action-history mean, closed form: exclusive cumsum / count
+    # (``env_step``'s running mean after k acting steps == mean of the k
+    # selected edge tokens).
+    cum_emb = jnp.cumsum(sel_emb_seq, axis=0) - sel_emb_seq
+    cum_cnt = jnp.cumsum(acting.astype(jnp.float32), axis=0) - acting
+    action_hidden_seq = cum_emb / jnp.maximum(cum_cnt, 1.0)[..., None]
+
+    state_tokens_seq = state_encoder.apply(
+        encoder_params, cache, batch,
+        active_seq=active_seq, counts_seq=counts_seq,
+        action_hidden_seq=action_hidden_seq,
+        method=StateEncoder.encode_states_batched,
+    )                                                        # [T, G, H]
+
+    def score_step(st_t, state_tokens, valid):
+        return policy.apply(
+            policy_params, st_t, state_tokens, gb.edge_batch, valid,
+            method=GFlowNetEdgePolicy.apply_precomputed,
+        )
+
+    edge_logits_seq, stop_logits_seq, state_out_seq = jax.vmap(score_step)(
+        step_tensors, state_tokens_seq, valid_seq
+    )
+    lp_edge_seq, lp_stop_seq, _ = jax.vmap(
+        lambda e, s, v: log_probs_edges(e, s, gb.edge_batch, v, g, temp)
+    )(edge_logits_seq, stop_logits_seq, valid_seq)
+
+    is_stop = actions_t == STOP_ACTION
+    log_pf_t = jnp.where(
+        is_stop, lp_stop_seq, jnp.take_along_axis(lp_edge_seq, safe, axis=1)
+    )
+    log_pf_t = jnp.where(done_seq, 0.0, log_pf_t)            # [T, G]
+
+    want_bc = dag_edge_mask is not None
+    result = {
+        "log_pf": jnp.sum(log_pf_t, axis=0),
+        "log_pf_steps": log_pf_t.T,
+        "state_emb_seq": jnp.transpose(state_out_seq.astype(jnp.float32), (1, 0, 2)),
+        "actions_seq": actions_t.T,
+        "directions_seq": final_state.directions,
+        "selected_mask": final_state.used_edge_mask,
+        "selection_order": final_state.selection_order,
+        "reach_success": final_state.answer_hits.astype(jnp.float32),
+        "length": final_state.step_counts.astype(jnp.float32),
+        "answer_node_hit": final_state.answer_node_hit,
+        "start_node_hit": final_state.start_node_hit,
+        "active_nodes": final_state.active_nodes,
+        "answer_hits": final_state.answer_hits,
+    }
+    if want_bc:
+        bc_mask_seq = valid_seq & dag_edge_mask[None]        # [T, E]
+        bc_lse = jax.vmap(
+            lambda lp, m: segment_logsumexp(lp, gb.edge_batch, g, mask=m)
+        )(lp_edge_seq, bc_mask_seq)
+        bc_cnt = jax.vmap(
+            lambda m: segment_sum(m.astype(jnp.float32), gb.edge_batch, g)
+        )(bc_mask_seq)
+        bc_valid = bc_cnt > 0
+        bc_loss_sum = jnp.sum(jnp.where(bc_valid, -bc_lse, 0.0), axis=0)
+        bc_step_counts = jnp.sum(bc_valid.astype(jnp.float32), axis=0)
+        dag_counts = segment_sum(dag_edge_mask.astype(jnp.float32), gb.edge_batch, g)
         result["bc_loss_per_graph"] = bc_loss_sum / jnp.maximum(bc_step_counts, 1.0)
         result["bc_steps_per_graph"] = bc_step_counts
         result["bc_has_dag"] = (dag_counts > 0).astype(jnp.float32)

@@ -99,6 +99,35 @@ class StateEncoder(nn.Module):
             tokens = tokens + struct_mean
         return self.norm(tokens)
 
+    def encode_states_batched(
+        self,
+        cache: StateEncoderCache,
+        batch: AgentBatch,
+        *,
+        active_seq: jax.Array,         # [T, N] bool pre-step frontiers
+        counts_seq: jax.Array,         # [T, G] int32 pre-step step counts
+        action_hidden_seq: jax.Array,  # [T, G, H] pre-step action-history means
+    ) -> jax.Array:
+        """All T per-step state tokens in one batched launch (the
+        sample-then-score rollout's differentiable re-encode; same math as
+        ``encode_state`` with the env-state snapshots stacked on a leading
+        step axis)."""
+        gb = batch.graph
+        g = gb.num_graphs
+        active = active_seq & gb.node_mask[None]
+        mean_t = jax.vmap(
+            lambda m: segment_mean(cache.node_tokens, gb.node_batch, g, mask=m)
+        )(active)
+        remaining = jnp.clip(self.max_steps - counts_seq, 0, self.max_steps)
+        step_emb = self.step_embeddings(remaining)
+        tokens = mean_t + cache.question_tokens[None] + step_emb + action_hidden_seq
+        if self.use_state_dde:
+            struct_t = jax.vmap(
+                lambda m: segment_mean(cache.node_struct_tokens, gb.node_batch, g, mask=m)
+            )(active)
+            tokens = tokens + struct_t
+        return self.norm(tokens)
+
 
 class GFlowNetEstimator(nn.Module):
     """logF(s)/logZ head: MLP([state ‖ question]) -> scalar, zero-init last

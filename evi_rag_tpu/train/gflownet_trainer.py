@@ -22,7 +22,11 @@ from typing import Any, Callable, Iterable
 import jax
 import jax.numpy as jnp
 
-from evi_rag_tpu.models.batches import AgentBatch
+from evi_rag_tpu.models.batches import (
+    AgentBatch,
+    EmbedTables,
+    materialize_agent_batch,
+)
 from evi_rag_tpu.models.gflownet.actor import ActorConfig, rollout
 from evi_rag_tpu.models.gflownet.embedder import (
     embed_agent_batch,
@@ -80,6 +84,10 @@ class GFlowNetConfig:
     # Hoist per-step edge-axis policy matmuls out of the rollout scan (see
     # ActorConfig.precompute_policy).
     precompute_policy: bool = True
+    # Two-pass rollout: forward-only sampling scan + one batched
+    # differentiable score pass over the step axis (see
+    # ActorConfig.sample_then_score).
+    sample_then_score: bool = False
 
     @property
     def actor(self) -> ActorConfig:
@@ -88,6 +96,7 @@ class GFlowNetConfig:
             policy_temperature=self.policy_temperature,
             stop_on_answer=self.stop_on_answer,
             precompute_policy=self.precompute_policy,
+            sample_then_score=self.sample_then_score,
         )
 
 
@@ -120,6 +129,7 @@ def init_gflownet_params(
     example_batch: AgentBatch,
     *,
     seed: int = 0,
+    tables: EmbedTables | None = None,
 ) -> dict[str, Any]:
     """Init trainable params: policy / state encoder / estimator /
     edge_score_proj (the frozen retriever bundle is NOT trainable)."""
@@ -136,12 +146,13 @@ def init_gflownet_params(
         return module.encode_state(cache, state0, batch)
 
     def _init():
+        ex = materialize_agent_batch(example_batch, tables)
         embed = embed_agent_batch(
-            bundle, example_batch, edge_score_proj=init_edge_score_proj(h)
+            bundle, ex, edge_score_proj=init_edge_score_proj(h)
         )
         se_params = modules.state_encoder.init(
             k0,
-            example_batch,
+            ex,
             embed.node_tokens,
             embed.question_tokens,
             method=_se_init,
@@ -149,9 +160,9 @@ def init_gflownet_params(
         pol_params = modules.policy.init(
             k1,
             embed.edge_tokens,
-            jnp.zeros((example_batch.graph.num_graphs, h)),
-            example_batch.graph.edge_batch,
-            example_batch.graph.edge_mask,
+            jnp.zeros((ex.graph.num_graphs, h)),
+            ex.graph.edge_batch,
+            ex.graph.edge_mask,
         )
         est_params = modules.estimator.init(
             k2,
@@ -256,6 +267,7 @@ def make_gfn_train_step(
     tx: Any,
     cfg: GFlowNetConfig,
     bundle: dict[str, Any],
+    tables: EmbedTables | None = None,
 ) -> Callable[[TrainState, AgentBatch], tuple[TrainState, dict[str, jax.Array]]]:
     """Jitted update.  Accepts a flat AgentBatch or a stacked ``[D, ...]``
     batch for data-parallel training over a mesh (same vmap-over-shards
@@ -263,6 +275,7 @@ def make_gfn_train_step(
 
     @functools.partial(jax.jit, static_argnames=())
     def step(state: TrainState, batch: AgentBatch, frozen_embed=None):
+        batch = materialize_agent_batch(batch, tables)
         rng, sub = jax.random.split(state.rng)
         stacked = batch.question_emb.ndim == 3
         bc_w = bc_weight_schedule(
@@ -315,6 +328,7 @@ def make_gfn_eval_step(
     bundle: dict[str, Any],
     *,
     num_rollouts: int | None = None,
+    tables: EmbedTables | None = None,
 ) -> Callable[[dict, AgentBatch, jax.Array], dict[str, jax.Array]]:
     """Best-of-k eval: answer_hit@{k} prefixes over sampled rollouts.
 
@@ -330,6 +344,7 @@ def make_gfn_eval_step(
 
     @jax.jit
     def step(params, batch: AgentBatch, rng):
+        batch = materialize_agent_batch(batch, tables)
         rngs = jax.random.split(rng, r)
         loss, metrics = _rollout_losses(
             params, modules, bundle, batch, rngs, cfg,
@@ -390,18 +405,21 @@ def fit_gflownet(
     *,
     seed: int = 0,
     eval_rollouts: int = 4,
+    tables: EmbedTables | None = None,
 ) -> tuple[dict, dict[str, Any]]:
     modules = build_modules(cfg)
     first = next(iter(train_batches(0)))
-    params = init_gflownet_params(cfg, modules, bundle, first, seed=seed)
+    params = init_gflownet_params(cfg, modules, bundle, first, seed=seed, tables=tables)
     tx = setup_optimizer(cfg.optimizer, params)
     opt_state = jax.jit(tx.init)(params)
     state = TrainState(
         params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32),
         rng=jax.random.key(seed + 1),
     )
-    train_step = make_gfn_train_step(modules, tx, cfg, bundle)
-    eval_step = make_gfn_eval_step(modules, cfg, bundle, num_rollouts=eval_rollouts)
+    train_step = make_gfn_train_step(modules, tx, cfg, bundle, tables=tables)
+    eval_step = make_gfn_eval_step(
+        modules, cfg, bundle, num_rollouts=eval_rollouts, tables=tables
+    )
 
     best_score = -float("inf")
     best_params = state.params
@@ -420,7 +438,11 @@ def fit_gflownet(
             if cached_batches is None:
                 from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch_frozen
 
-                embed_fn = jax.jit(functools.partial(embed_agent_batch_frozen, bundle))
+                embed_fn = jax.jit(
+                    lambda bb: embed_agent_batch_frozen(
+                        bundle, materialize_agent_batch(bb, tables)
+                    )
+                )
                 cached_batches = []
                 for b in train_batches(0):
                     fe = (

@@ -32,7 +32,11 @@ from evi_rag_tpu.eval.metrics import (
     prob_quality,
     score_margin,
 )
-from evi_rag_tpu.models.batches import RetrieverBatch
+from evi_rag_tpu.models.batches import (
+    EmbedTables,
+    RetrieverBatch,
+    materialize_retriever_batch,
+)
 from evi_rag_tpu.models.losses import RetrieverLossConfig, retriever_loss
 from evi_rag_tpu.models.retriever import Retriever
 from evi_rag_tpu.train.optim import OptimizerConfig, setup_optimizer
@@ -70,12 +74,15 @@ def create_train_state(
     cfg: RetrieverTrainConfig,
     *,
     seed: int = 0,
+    tables: EmbedTables | None = None,
 ) -> tuple[TrainState, Any]:
     """Init params + optimizer. ``example_batch`` may be stacked or flat."""
     flat = example_batch
     if flat.question_emb.ndim == 3:  # stacked [D, G, dim]
         flat = jax.tree.map(lambda x: x[0], flat)
-    params = jax.jit(model.init)(jax.random.key(seed), flat)
+    params = jax.jit(
+        lambda k, b: model.init(k, materialize_retriever_batch(b, tables))
+    )(jax.random.key(seed), flat)
     tx = setup_optimizer(cfg.optimizer, params)
     opt_state = jax.jit(tx.init)(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), rng=jax.random.key(seed + 1)), tx
@@ -85,8 +92,11 @@ def make_train_step(
     model: Retriever,
     tx: Any,
     cfg: RetrieverTrainConfig,
+    tables: EmbedTables | None = None,
 ) -> Callable[[TrainState, RetrieverBatch], tuple[TrainState, dict[str, jax.Array]]]:
-    """Jitted update over a stacked ``[D, ...]`` batch."""
+    """Jitted update over a stacked ``[D, ...]`` batch.  With ``tables``,
+    id-feed batches materialize their embeddings on device at step entry
+    (gather from the resident tables; ids-only host feeds)."""
     loss_cfg = cfg.loss
 
     def _forward(params, batch: RetrieverBatch, rng):
@@ -117,6 +127,7 @@ def make_train_step(
 
     @jax.jit
     def step(state: TrainState, stacked: RetrieverBatch):
+        stacked = materialize_retriever_batch(stacked, tables)
         rng, sub = jax.random.split(state.rng)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, stacked, sub
@@ -135,7 +146,8 @@ def make_train_step(
 
 
 def make_eval_step(
-    model: Retriever, cfg: RetrieverTrainConfig
+    model: Retriever, cfg: RetrieverTrainConfig,
+    tables: EmbedTables | None = None,
 ) -> Callable[[Any, RetrieverBatch], dict[str, jax.Array]]:
     """Jitted per-batch metric computation (flat batch, one device/replicated).
 
@@ -146,6 +158,7 @@ def make_eval_step(
 
     @jax.jit
     def step(params, batch: RetrieverBatch) -> dict[str, jax.Array]:
+        batch = materialize_retriever_batch(batch, tables)
         out = model.apply(params, batch)
         scores = out.logits
         labels = batch.edge_labels
@@ -246,6 +259,7 @@ def fit(
     log_every: int = 50,
     resume_from: str | None = None,
     mesh=None,
+    tables: EmbedTables | None = None,
 ) -> tuple[Any, dict[str, Any]]:
     """Epoch loop with monitored early stopping; returns (best_params, history).
 
@@ -253,7 +267,7 @@ def fit(
     checkpoint dir -- the reference's ``ckpt_path`` resume (train.py:198).
     """
     first = next(iter(train_batches(0)))
-    state, tx = create_train_state(model, first, cfg, seed=seed)
+    state, tx = create_train_state(model, first, cfg, seed=seed, tables=tables)
     place = lambda b: b  # noqa: E731
     if mesh is not None:
         from evi_rag_tpu.parallel.mesh import place_replicated, shard_batch
@@ -280,8 +294,8 @@ def fit(
             rng=state.rng,
         )
         log.info("resumed from %s at step %s", resume_from, meta.get("step"))
-    train_step = make_train_step(model, tx, cfg)
-    eval_step = make_eval_step(model, cfg)
+    train_step = make_train_step(model, tx, cfg, tables=tables)
+    eval_step = make_eval_step(model, cfg, tables=tables)
 
     sign = 1.0 if cfg.monitor_mode == "max" else -1.0
     best_score = -float("inf")
