@@ -814,7 +814,8 @@ def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
 
         _, ent0, rel0, _ = _load_split(cfg, splits[0])
         tables = make_tables(ent0, rel0)
-        mat = jax.jit(lambda b: materialize_agent_batch(b, tables))
+        _mat = jax.jit(materialize_agent_batch)
+        mat = lambda b: _mat(b, tables)  # tables as jit arg, not closure  # noqa: E731
     eval_step = make_gfn_eval_step(
         modules, gcfg, bundle, num_rollouts=num_rollouts, tables=tables
     )

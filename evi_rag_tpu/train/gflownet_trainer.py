@@ -145,8 +145,8 @@ def init_gflownet_params(
         state0 = env_reset(batch, max_steps=cfg.max_steps, hidden_dim=h)
         return module.encode_state(cache, state0, batch)
 
-    def _init():
-        ex = materialize_agent_batch(example_batch, tables)
+    def _init(tbl):
+        ex = materialize_agent_batch(example_batch, tbl)
         embed = embed_agent_batch(
             bundle, ex, edge_score_proj=init_edge_score_proj(h)
         )
@@ -176,7 +176,9 @@ def init_gflownet_params(
             "edge_score_proj": init_edge_score_proj(h),
         }
 
-    return jax.jit(_init)()
+    # Tables as jit arguments, never closures (closure constants are
+    # serialized into remote-compile payloads; HTTP 413 at vocab scale).
+    return jax.jit(_init)(tables)
 
 
 def _rollout_losses(
@@ -274,8 +276,8 @@ def make_gfn_train_step(
     pattern as the retriever step)."""
 
     @functools.partial(jax.jit, static_argnames=())
-    def step(state: TrainState, batch: AgentBatch, frozen_embed=None):
-        batch = materialize_agent_batch(batch, tables)
+    def _step(state: TrainState, batch: AgentBatch, tbl, frozen_embed=None):
+        batch = materialize_agent_batch(batch, tbl)
         rng, sub = jax.random.split(state.rng)
         stacked = batch.question_emb.ndim == 3
         bc_w = bc_weight_schedule(
@@ -319,6 +321,9 @@ def make_gfn_train_step(
         out["bc_weight"] = bc_w
         return TrainState(params=params, opt_state=opt_state, step=state.step + 1, rng=rng), out
 
+    def step(state: TrainState, batch: AgentBatch, frozen_embed=None):
+        return _step(state, batch, tables, frozen_embed)
+
     return step
 
 
@@ -343,8 +348,8 @@ def make_gfn_eval_step(
     r = num_rollouts if num_rollouts is not None else max(ks)
 
     @jax.jit
-    def step(params, batch: AgentBatch, rng):
-        batch = materialize_agent_batch(batch, tables)
+    def _step(params, batch: AgentBatch, tbl, rng):
+        batch = materialize_agent_batch(batch, tbl)
         rngs = jax.random.split(rng, r)
         loss, metrics = _rollout_losses(
             params, modules, bundle, batch, rngs, cfg,
@@ -364,6 +369,9 @@ def make_gfn_eval_step(
         out["graph_valid"] = not_dummy
         out["graph_valid_ref"] = batch.graph.graph_mask
         return out
+
+    def step(params, batch: AgentBatch, rng):
+        return _step(params, batch, tables, rng)
 
     return step
 
@@ -438,11 +446,12 @@ def fit_gflownet(
             if cached_batches is None:
                 from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch_frozen
 
-                embed_fn = jax.jit(
-                    lambda bb: embed_agent_batch_frozen(
-                        bundle, materialize_agent_batch(bb, tables)
+                embed_fn_t = jax.jit(
+                    lambda bb, tbl: embed_agent_batch_frozen(
+                        bundle, materialize_agent_batch(bb, tbl)
                     )
                 )
+                embed_fn = lambda bb: embed_fn_t(bb, tables)  # noqa: E731
                 cached_batches = []
                 for b in train_batches(0):
                     fe = (

@@ -80,9 +80,13 @@ def create_train_state(
     flat = example_batch
     if flat.question_emb.ndim == 3:  # stacked [D, G, dim]
         flat = jax.tree.map(lambda x: x[0], flat)
+    # Tables ride as jit ARGUMENTS, never closures: a closed-over table is
+    # serialized into the compile payload as a literal constant, which a
+    # remote-compile tunnel rejects outright at production vocabulary sizes
+    # (HTTP 413 on a 120k x 1024 entity table).
     params = jax.jit(
-        lambda k, b: model.init(k, materialize_retriever_batch(b, tables))
-    )(jax.random.key(seed), flat)
+        lambda k, b, t: model.init(k, materialize_retriever_batch(b, t))
+    )(jax.random.key(seed), flat, tables)
     tx = setup_optimizer(cfg.optimizer, params)
     opt_state = jax.jit(tx.init)(params)
     return TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32), rng=jax.random.key(seed + 1)), tx
@@ -126,8 +130,8 @@ def make_train_step(
         return jnp.mean(losses), jax.tree.map(jnp.mean, metrics)
 
     @jax.jit
-    def step(state: TrainState, stacked: RetrieverBatch):
-        stacked = materialize_retriever_batch(stacked, tables)
+    def _step(state: TrainState, stacked: RetrieverBatch, tbl):
+        stacked = materialize_retriever_batch(stacked, tbl)
         rng, sub = jax.random.split(state.rng)
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, stacked, sub
@@ -141,6 +145,11 @@ def make_train_step(
             sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))
         )
         return new_state, metrics
+
+    # Tables as jit arguments (see create_train_state): the returned step
+    # keeps the 2-arg signature callers expect.
+    def step(state: TrainState, stacked: RetrieverBatch):
+        return _step(state, stacked, tables)
 
     return step
 
@@ -157,8 +166,8 @@ def make_eval_step(
     ks = cfg.k_values
 
     @jax.jit
-    def step(params, batch: RetrieverBatch) -> dict[str, jax.Array]:
-        batch = materialize_retriever_batch(batch, tables)
+    def _step(params, batch: RetrieverBatch, tbl) -> dict[str, jax.Array]:
+        batch = materialize_retriever_batch(batch, tbl)
         out = model.apply(params, batch)
         scores = out.logits
         labels = batch.edge_labels
@@ -203,6 +212,9 @@ def make_eval_step(
         res["logits_fwd"] = out.logits_fwd
         res["logits_bwd"] = out.logits_bwd
         return res
+
+    def step(params, batch: RetrieverBatch) -> dict[str, jax.Array]:
+        return _step(params, batch, tables)
 
     return step
 
