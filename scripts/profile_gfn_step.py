@@ -177,6 +177,32 @@ def main():
     ms_full = _timeit(lambda s, b: step(s, b, fe)[1]["loss"], state, batch, iters=args.iters)
     ms_full_nocache = _timeit(lambda s, b: step(s, b)[1]["loss"], state, batch, iters=args.iters)
 
+    # Sample-then-score variants (forward-only sampling scan + one batched
+    # differentiable score pass; gflownet.sample_then_score).
+    from evi_rag_tpu.train.gflownet_trainer import make_gfn_train_step
+
+    sts_ms = {}
+    for label, over in (
+        ("sts", dict(sample_then_score=True)),
+        ("sts_bf16", dict(sample_then_score=True, compute_dtype="bfloat16")),
+    ):
+        cfg_v = dataclasses.replace(cfg, **over)
+        from evi_rag_tpu.train.gflownet_trainer import build_modules, init_gflownet_params
+        from evi_rag_tpu.train.optim import setup_optimizer
+        from evi_rag_tpu.train.retriever_trainer import TrainState
+
+        mods_v = build_modules(cfg_v)
+        params_v = init_gflownet_params(cfg_v, mods_v, bundle, batch, seed=0)
+        tx_v = setup_optimizer(cfg_v.optimizer, params_v)
+        st_v = TrainState(
+            params=params_v, opt_state=jax.jit(tx_v.init)(params_v),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+        )
+        step_v = make_gfn_train_step(mods_v, tx_v, cfg_v, bundle)
+        sts_ms[label] = _timeit(
+            lambda s, b: step_v(s, b, fe)[1]["loss"], st_v, batch, iters=args.iters
+        )
+
     print(f"frozen embed            : {ms_embed:8.3f} ms")
     print(f"1 rollout fwd (scan)    : {ms_one_rollout:8.3f} ms")
     print(f"{cfg.num_train_rollouts} rollouts + loss fwd  : {ms_fwd:8.3f} ms")
@@ -184,6 +210,8 @@ def main():
     print(f"optimizer apply         : {ms_opt:8.3f} ms")
     print(f"FULL step (cached embed): {ms_full:8.3f} ms  -> {g / ms_full * 1e3:7.1f} graphs/s")
     print(f"FULL step (embed inline): {ms_full_nocache:8.3f} ms  -> {g / ms_full_nocache * 1e3:7.1f} graphs/s")
+    for label, ms in sts_ms.items():
+        print(f"FULL step ({label:11s}): {ms:8.3f} ms  -> {g / ms * 1e3:7.1f} graphs/s")
     print(f"  bwd-only estimate     : {ms_fwdbwd - ms_fwd:8.3f} ms")
     print(f"  non-loss overhead     : {ms_full - ms_fwdbwd - ms_opt:8.3f} ms (rng/bookkeeping/fusion diff)")
 
