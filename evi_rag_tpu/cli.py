@@ -516,29 +516,38 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                     question_emb=q, bucket=bucket, id_feed=use_tables,
                 )
 
-        split_metrics = evaluate(params, eval_step, batches())
-        all_metrics.update({f"{split}/{k}": v for k, v in split_metrics.items()})
-
         write_artifacts = bool(e.get("write_artifacts", True))
         want_ranking = bool(e.get("ranking_metrics", True))
         if not (write_artifacts or want_ranking):
             # Metric-only mode (the reference's run.eval_mode=test without
             # materialization callbacks).
+            split_metrics = evaluate(params, eval_step, batches())
+            all_metrics.update({f"{split}/{k}": v for k, v in split_metrics.items()})
             continue
 
-        # Per-sample scores for artifact generation + offline ranking suite.
+        # ONE forward pass per split: each batch's eval_step outputs feed the
+        # metric accumulator AND the artifact/ranking builders (was two full
+        # passes; at WebQSP scale the duplicate forward dominated the stage).
+        from evi_rag_tpu.train.retriever_trainer import evaluate_results
+
         agent_samples = []
         topk_records = []
         rank_samples = []
-        i = 0
-        for batch in batches():
-            res = eval_step(params, batch)
+
+        def _artifact_pass():
+            i = 0
+            for batch in batches():
+                res = eval_step(params, batch)
+                _collect_split_artifacts(batch, res, samples[i : i + per_batch])
+                i += per_batch
+                yield res
+
+        def _collect_split_artifacts(batch, res, chunk):
             scores = np.asarray(res["logits"])
             lf = np.asarray(res["logits_fwd"])
             lb = np.asarray(res["logits_bwd"])
             eb = np.asarray(batch.graph.edge_batch)
             emask = np.asarray(batch.graph.edge_mask)
-            chunk = samples[i : i + per_batch]
             for g, s in enumerate(chunk):
                 sel = np.nonzero((eb == g) & emask)[0]
                 s_scores = scores[sel]
@@ -597,7 +606,9 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                         id2relation=id2r or None,
                     )
                 )
-            i += per_batch
+
+        split_metrics = evaluate_results(_artifact_pass())
+        all_metrics.update({f"{split}/{k}": v for k, v in split_metrics.items()})
         if want_ranking and rank_samples:
             from evi_rag_tpu.eval.ranking import (
                 compute_answer_hit,

@@ -225,11 +225,17 @@ def evaluate(
     batches: Iterable[RetrieverBatch],
 ) -> dict[str, float]:
     """Aggregate the metric suite over an eval split."""
+    return evaluate_results(eval_step(params, b) for b in batches)
+
+
+def evaluate_results(results: Iterable[dict]) -> dict[str, float]:
+    """Aggregate precomputed ``eval_step`` outputs.  Lets callers that also
+    need per-batch outputs (artifact/ranking generation) run ONE forward pass
+    per split instead of two."""
     acc = MetricAccumulator()
     cov = MetricAccumulator()
     feat = MetricAccumulator()
-    for batch in batches:
-        res = eval_step(params, batch)
+    for res in results:
         feat.update(
             {
                 "features/pos_prob_avg": res["features/pos_prob_avg"],
