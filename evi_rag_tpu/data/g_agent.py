@@ -146,9 +146,13 @@ class AgentSample:
             raise ValueError(f"{sid}: non-dummy agent without answer locals")
         if self.is_answer_reachable == self.is_dummy_agent:
             raise ValueError(f"{sid}: reachability flag inconsistent with dummy flag")
-        if self.is_answer_reachable and not self.is_dummy_agent:
-            if self.pair_start_local.size == 0:
-                raise ValueError(f"{sid}: reachable agent without pair supervision")
+        # Pair supervision may legitimately be EMPTY for a reachable agent:
+        # the answer node can sit in the env graph yet be disconnected from
+        # every start node after top-k edge selection (observed at WebQSP
+        # scale), and the reference ships always-empty pair fields anyway
+        # ("Path supervision removed", g_agent_builder.py:472-483) — the
+        # reward falls back to a length-cost-free success when no pair
+        # matches (reward.py:match_shortest_lengths -> -1).
         p = self.pair_start_local.shape[0]
         if self.pair_answer_local.shape[0] != p or self.pair_shortest_len.shape[0] != p:
             raise ValueError(f"{sid}: pair field length mismatch")

@@ -140,6 +140,45 @@ def test_hop_filter_drops_sample_when_nothing_in_radius():
     assert s is None
 
 
+def test_build_agent_disconnected_answer_has_empty_pairs():
+    """Answer in the env graph but in a different component than every start:
+    the sample is reachable (reference semantics: answer-in-graph,
+    g_agent_builder.py:483), pair supervision is legitimately EMPTY, and the
+    sample must survive validate() + a store round-trip (observed at WebQSP
+    scale after top-k edge selection)."""
+    kw = _sample_kwargs()
+    # Two components: {0,1} and {2,3}. Start at node 0's entity, answer at
+    # node 3's entity — present, but unreachable from the start.
+    kw["heads"] = np.array([0, 2])
+    kw["tails"] = np.array([1, 3])
+    kw["relations"] = np.array([0, 1])
+    kw["labels"] = np.array([0.0, 1.0], np.float32)
+    kw["scores"] = np.array([1.0, 2.0], np.float32)
+    kw["node_entity_ids"] = np.array([100, 101, 102, 103])
+    kw["node_embedding_ids"] = np.array([1, 2, 3, 4])
+    kw["start_entity_ids"] = np.array([100])
+    kw["answer_entity_ids"] = np.array([103])
+    s = build_agent_sample(
+        settings=AgentSettings(edge_top_k=2, max_hops=0, score_mode="logits"),
+        **kw,
+    )
+    assert s is not None
+    assert s.is_answer_reachable and not s.is_dummy_agent
+    assert s.pair_start_local.size == 0
+    s.validate()  # must not raise
+
+    from evi_rag_tpu.eval.artifacts import load_agent_store, save_agent_store
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        save_agent_store([s], td, split="train")
+        loaded = load_agent_store(td)
+        assert len(loaded) == 1
+        assert loaded[0].is_answer_reachable
+        assert loaded[0].pair_start_local.size == 0
+
+
 def test_agent_sample_validator_rejects_corruption():
     """Strict validator catches the reference's _parse_sample error classes:
     range violations, redundant-field disagreement, flag inconsistency."""
