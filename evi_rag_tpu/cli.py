@@ -782,12 +782,10 @@ def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
     import jax
 
     from evi_rag_tpu.eval.artifacts import rollout_record_for_sample, write_rollout_records
-    from evi_rag_tpu.models.gflownet.actor import rollout as run_rollout
-    from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch
     from evi_rag_tpu.train.checkpoint import load_checkpoint
     from evi_rag_tpu.train.gflownet_trainer import (
         build_modules,
-        evaluate_gflownet,
+        evaluate_gflownet_results,
         make_gfn_eval_step,
     )
     from evi_rag_tpu.data.feeder import collate_agent, fixed_agent_bucket
@@ -819,59 +817,51 @@ def task_eval_gflownet(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
 
     use_tables = bool(cfg.get("gflownet", {}).get("device_tables", True))
     tables = None
-    mat = lambda b: b  # noqa: E731
     if use_tables:
-        from evi_rag_tpu.models.batches import make_tables, materialize_agent_batch
+        from evi_rag_tpu.models.batches import make_tables
 
         _, ent0, rel0, _ = _load_split(cfg, splits[0])
         tables = make_tables(ent0, rel0)
-        _mat = jax.jit(materialize_agent_batch)
-        mat = lambda b: _mat(b, tables)  # tables as jit arg, not closure  # noqa: E731
+    # collect_rollouts: the SAME jitted pass yields the metric suite and the
+    # per-rollout trajectories for artifact records.  The previous two-pass
+    # form re-ran num_rollouts un-jitted rollouts per batch; at WebQSP scale
+    # that was dispatch-bound and grew host memory without bound.
     eval_step = make_gfn_eval_step(
-        modules, gcfg, bundle, num_rollouts=num_rollouts, tables=tables
+        modules, gcfg, bundle, num_rollouts=num_rollouts, tables=tables,
+        collect_rollouts=True,
     )
     all_metrics: dict[str, Any] = {}
     for split in splits:
         agent_samples, batches, _ = _agent_batches_fn(
             cfg, split, bs, id_feed=use_tables
         )
-        m = evaluate_gflownet(
-            params, eval_step, batches(), rng=jax.random.key(7), ks=gcfg.eval_rollout_prefixes
-        )
-        all_metrics.update({f"{split}/{k}": v for k, v in m.items()})
+        records: list[dict] = []
+        rng = jax.random.key(7)
 
-        # Rollout artifact records (greedy-free sampling, local edge ids).
-        records = []
-        idx = 0
-        for batch in batches():
-            batch = mat(batch)
-            embed = embed_agent_batch(bundle, batch, edge_score_proj=params["edge_score_proj"])
-            ros = []
-            for r in range(num_rollouts):
-                ro = run_rollout(
-                    policy=modules.policy, state_encoder=modules.state_encoder,
-                    policy_params=params["policy"], encoder_params=params["state_encoder"],
-                    batch=batch, embed=embed, rng=jax.random.key(10_000 + 97 * idx + r),
-                    config=gcfg.actor,
-                )
-                ros.append(ro)
-            eptr = np.asarray(batch.graph.edge_ptr)
-            n_real = int(np.asarray(batch.graph.graph_mask).sum())
-            for g in range(n_real):
-                s = agent_samples[idx + g]
-                acts = np.stack(
-                    [np.asarray(ro["actions_seq"][g]) for ro in ros]
-                )
-                local = np.where(acts >= 0, acts - eptr[g], -1)
-                dirs = np.stack([np.asarray(ro["directions_seq"][g]) for ro in ros])
-                hits = np.asarray([bool(ro["answer_hits"][g]) for ro in ros])
-                records.append(
-                    rollout_record_for_sample(
-                        s, actions_local=local, directions=dirs, answer_hits=hits,
-                        id2entity=id2e or None, id2relation=id2r or None,
+        def _results():
+            idx = 0
+            for i, batch in enumerate(batches()):
+                res = eval_step(params, batch, jax.random.fold_in(rng, i))
+                acts = np.asarray(res["rollout_actions"])       # [R, G, T]
+                dirs = np.asarray(res["rollout_directions"])    # [R, G, T]
+                hits = np.asarray(res["rollout_hits"])          # [R, G]
+                eptr = np.asarray(batch.graph.edge_ptr)
+                n_real = int(np.asarray(batch.graph.graph_mask).sum())
+                for g in range(n_real):
+                    s = agent_samples[idx + g]
+                    local = np.where(acts[:, g] >= 0, acts[:, g] - eptr[g], -1)
+                    records.append(
+                        rollout_record_for_sample(
+                            s, actions_local=local, directions=dirs[:, g],
+                            answer_hits=hits[:, g].astype(bool),
+                            id2entity=id2e or None, id2relation=id2r or None,
+                        )
                     )
-                )
-            idx += n_real
+                idx += n_real
+                yield res
+
+        m = evaluate_gflownet_results(_results())
+        all_metrics.update({f"{split}/{k}": v for k, v in m.items()})
         write_rollout_records(
             records, artifacts_dir / "eval_gflownet", split=split, num_rollouts=num_rollouts
         )

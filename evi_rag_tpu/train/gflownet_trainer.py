@@ -194,8 +194,16 @@ def _rollout_losses(
     greedy: bool = False,
     train: bool = False,
     frozen_embed=None,
+    collect_rollouts: bool = False,
 ) -> tuple[jax.Array, dict[str, jax.Array]]:
-    """Mean SubTB (+BC) loss over R rollouts; per-rollout metrics stacked."""
+    """Mean SubTB (+BC) loss over R rollouts; per-rollout metrics stacked.
+
+    ``collect_rollouts`` additionally returns the raw per-rollout trajectories
+    (``rollout_actions``/``rollout_directions`` [R, G, T] and unmasked
+    ``rollout_hits`` [R, G]) so artifact writers can record the SAME sampled
+    rollouts the metrics scored — one jitted pass instead of a second
+    un-jitted rollout sweep (which at WebQSP scale was tunnel-dispatch bound
+    and accumulated per-shape programs until OOM)."""
     from evi_rag_tpu.models.gflownet.embedder import (
         apply_score_bonus,
         embed_agent_batch_frozen,
@@ -256,11 +264,18 @@ def _rollout_losses(
             "length_mean": jnp.sum(jnp.where(not_dummy, rw.path_len, 0.0)) / nd,
             "semantic": jnp.sum(jnp.where(not_dummy, rw.semantic_score, 0.0)) / nd,
         }
+        if collect_rollouts:
+            metrics["rollout_actions"] = ro["actions_seq"].astype(jnp.int32)
+            metrics["rollout_directions"] = ro["directions_seq"].astype(jnp.int32)
+            metrics["rollout_hits"] = ro["answer_hits"]
         return loss, metrics
 
     losses, metrics = jax.vmap(one_rollout)(rngs)
-    mean_metrics = {k: jnp.mean(v, axis=0) for k, v in metrics.items() if k != "answer_hit_graphs"}
-    mean_metrics["answer_hit_graphs"] = metrics["answer_hit_graphs"]  # [R, G]
+    # Stacked per-rollout outputs pass through unmeaned.
+    stacked = {"answer_hit_graphs", "rollout_actions", "rollout_directions", "rollout_hits"}
+    mean_metrics = {k: jnp.mean(v, axis=0) for k, v in metrics.items() if k not in stacked}
+    for k in stacked & metrics.keys():
+        mean_metrics[k] = metrics[k]
     return jnp.mean(losses), mean_metrics
 
 
@@ -334,6 +349,7 @@ def make_gfn_eval_step(
     *,
     num_rollouts: int | None = None,
     tables: EmbedTables | None = None,
+    collect_rollouts: bool = False,
 ) -> Callable[[dict, AgentBatch, jax.Array], dict[str, jax.Array]]:
     """Best-of-k eval: answer_hit@{k} prefixes over sampled rollouts.
 
@@ -354,6 +370,7 @@ def make_gfn_eval_step(
         loss, metrics = _rollout_losses(
             params, modules, bundle, batch, rngs, cfg,
             bc_weight=jnp.zeros(()), temperature=cfg.eval_temperature,
+            collect_rollouts=collect_rollouts,
         )
         hits = metrics.pop("answer_hit_graphs") > 0.5  # [R, G]
         not_dummy = (~batch.is_dummy) & batch.graph.graph_mask
@@ -384,11 +401,23 @@ def evaluate_gflownet(
     rng: jax.Array,
     ks: tuple[int, ...],
 ) -> dict[str, float]:
+    return evaluate_gflownet_results(
+        eval_step(params, batch, jax.random.fold_in(rng, i))
+        for i, batch in enumerate(batches)
+    )
+
+
+def evaluate_gflownet_results(results: Iterable[dict]) -> dict[str, float]:
+    """Aggregate precomputed ``eval_step`` outputs (same one-pass contract as
+    ``retriever_trainer.evaluate_results``: callers that also consume
+    per-batch rollout trajectories run a single forward pass per split)."""
     from evi_rag_tpu.eval.metrics import MetricAccumulator
 
     acc = MetricAccumulator()
-    for i, batch in enumerate(batches):
-        res = eval_step(params, batch, jax.random.fold_in(rng, i))
+    for res in results:
+        res = dict(res)
+        for k in ("rollout_actions", "rollout_directions", "rollout_hits"):
+            res.pop(k, None)
         valid = res.pop("graph_valid")
         valid_ref = res.pop("graph_valid_ref")
         per_graph = {k: v for k, v in res.items() if k.startswith("answer_hit@")}

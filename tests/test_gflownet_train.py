@@ -258,6 +258,40 @@ def test_gfn_train_steps_reduce_loss(setup):
     assert valid_ref.sum() >= valid.sum()
 
 
+def test_eval_step_collect_rollouts_consistent(setup):
+    """collect_rollouts returns the SAME sampled trajectories the metric
+    suite scored: per-rollout hits must reproduce answer_hit@R for valid
+    graphs, and action/direction shapes must match [R, G, T]."""
+    _, batch, bundle = setup
+    cfg = _cfg()
+    modules = build_modules(cfg)
+    params = init_gflownet_params(cfg, modules, bundle, batch, seed=0)
+    R = 4
+    eval_step = make_gfn_eval_step(
+        modules, cfg, bundle, num_rollouts=R, collect_rollouts=True
+    )
+    res = eval_step(params, batch, jax.random.key(2))
+    G = int(batch.graph.num_graphs)
+    acts = np.asarray(res["rollout_actions"])
+    dirs = np.asarray(res["rollout_directions"])
+    hits = np.asarray(res["rollout_hits"])
+    assert acts.ndim == 3 and acts.shape[:2] == (R, G)
+    assert dirs.shape == acts.shape
+    assert hits.shape == (R, G)
+    valid = np.asarray(res["graph_valid"])
+    hit_r = np.asarray(res[f"answer_hit@{R}"])
+    assert (hits.any(axis=0)[valid] == hit_r.astype(bool)[valid]).all()
+    # Plain eval step (no flag) must not carry trajectory fields.
+    res0 = make_gfn_eval_step(modules, cfg, bundle, num_rollouts=R)(
+        params, batch, jax.random.key(2)
+    )
+    assert "rollout_actions" not in res0
+    # Same rng => identical metric values with and without collection.
+    np.testing.assert_allclose(
+        np.asarray(res0[f"answer_hit@{R}"]), hit_r, rtol=0, atol=0
+    )
+
+
 def test_bf16_policy_close_to_f32_and_trains(setup):
     """The bf16 policy (reference 16-mixed capability, trainer/gpu.yaml) must
     produce logits within bf16 quantization of the f32 policy on identical
