@@ -1140,7 +1140,10 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
             k=k, num_rounds=int(pm["dde_rounds"]),
             num_reverse_rounds=int(pm["dde_reverse_rounds"]),
             group_size=group_size, dtype=dtype, projected=split_tables, mesh=mesh,
-            fused_threshold=int(sv.get("fused_threshold", 16384)),
+            # Measured crossover (scripts/measure_fused_crossover.py): the
+            # fused kernel wins at every width >= 256.
+            fused_threshold=int(sv.get("fused_threshold", 256)),
+            warmup=sv.get("warmup"),
         )
         out[f"{split}/num_questions"] = stats.num_questions
         out[f"{split}/queries_per_s"] = stats.queries_per_s
@@ -1153,6 +1156,7 @@ def task_serve(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         out[f"{split}/pack_s"] = stats.pack_s
         out[f"{split}/dispatch_s"] = stats.dispatch_s
         out[f"{split}/drain_s"] = stats.drain_s
+        out[f"{split}/compile_s"] = stats.compile_s
         out.update({f"{split}/{m}": v for m, v in
                     serve_recall_at_k(samples, results, k_grid).items()})
 

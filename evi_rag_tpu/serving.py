@@ -272,6 +272,12 @@ class ServeStats:
     pack_s: float = 0.0
     dispatch_s: float = 0.0
     drain_s: float = 0.0
+    # One-time remote-compile wall for this split's bucket shapes (warmup
+    # pass).  queries_per_s measures steady-state (post-warmup) throughput —
+    # the production-server operating point; a cold first request pays
+    # compile_s once per new shape.
+    compile_s: float = 0.0
+    num_windows: int = 0
 
 
 def _pow2_at_least(n: int, lo: int = 8) -> int:
@@ -295,8 +301,9 @@ def serve_split(
     dtype=jnp.bfloat16,
     projected: tuple[np.ndarray, np.ndarray] | None = None,
     mesh=None,
-    fused_threshold: int = 16384,
+    fused_threshold: int = 256,
     fused_interpret: bool | None = None,
+    warmup: bool | None = None,
 ) -> tuple[list[ServeResult], ServeStats]:
     """Serve every question of a split through the engine.
 
@@ -374,7 +381,22 @@ def serve_split(
     # Windows bound device memory for very large splits -- by ESTIMATED
     # STAGED BYTES (not sample count: a window of uniformly wide-m_pad
     # samples would otherwise stack multi-GB feeds on device; ADVICE r3).
-    q_table = put_table(np.ascontiguousarray(question_emb.astype(np.float32)))
+    # Pad the question-table rows up to a FIXED floor (pow-2 above it): the
+    # row count enters the jit signature, so per-split row counts recompiled
+    # every bucket shape per split (measured: a second split re-paid ~53 s of
+    # remote compiles).  With the floor, every split <= the floor shares one
+    # compiled shape set; the padded upload (~16 MB at 4096 x 1024 f32) is
+    # index-build cost, not per-query cost.
+    q_np = np.ascontiguousarray(question_emb.astype(np.float32))
+    q_rows = max(
+        _pow2_at_least(max(q_np.shape[0], 1)),
+        int(os.environ.get("EVI_SERVE_QROWS_MIN", 4096)),
+    )
+    if q_rows != q_np.shape[0]:
+        q_np = np.concatenate(
+            [q_np, np.zeros((q_rows - q_np.shape[0], q_np.shape[1]), np.float32)]
+        )
+    q_table = put_table(q_np)
     max_window_samples = group_size * max(8, 8192 // max(group_size, 1))
     byte_budget = int(os.environ.get("EVI_SERVE_WINDOW_BYTES", 256 << 20))
     interp = (
@@ -408,13 +430,18 @@ def serve_split(
 
     # Group boundaries + padded shapes first, then cut windows greedily
     # where the staged-feed estimate would exceed the byte budget.
+    # ONE shape axis: n_pad rides the edge ladder (n_pad = m_pad >= nodes+1,
+    # since m_pad already covers pow2(nodes+1)).  Independent pow-2 node
+    # padding multiplied the compiled-shape count ~2-3x per width; at WebQSP
+    # scale remote compiles dominated the split wall (dispatch_s 80 of 84 s).
     group_recs = []
     for g0 in range(0, len(order), group_size):
         idxs = order[g0 : g0 + group_size]
         group = [samples[i] for i in idxs]
         m_pad = _pow2_at_least(max(max(s.edge_index.shape[1], 1) for s in group))
         m_pad = max(m_pad, _pow2_at_least(k))
-        n_pad = _pow2_at_least(max(s.num_nodes for s in group) + 1)
+        m_pad = max(m_pad, _pow2_at_least(max(s.num_nodes for s in group) + 1))
+        n_pad = m_pad
         eidx_isz = 2 if n_pad <= 32768 else 4
         bytes_est = group_size * (
             2 * m_pad * eidx_isz                       # eidx [2, m_pad]
@@ -438,6 +465,90 @@ def serve_split(
     if cur:
         windows.append(cur)
 
+    B_WINDOW = int(os.environ.get("EVI_SERVE_B_WINDOW", 8))
+
+    def _use_fused(m_pad: int) -> bool:
+        # The fused kernel computes in bf16 internally; an explicit
+        # float32 request must keep the XLA scorer.  Under a mesh the
+        # XLA scorer partitions over the question axis (a pallas_call
+        # does not auto-partition; per-shard Pallas lives in
+        # ``query_topk_sharded_fused`` for the pooled-index surface).
+        # Default threshold 256 is MEASURED, not asserted: the hardware
+        # sweep (scripts/measure_fused_crossover.py, docs/serving.md)
+        # shows the fused path ahead at every width from 256 up
+        # (1.14x at 256 -> 1.55x at 8192).
+        return mesh is None and m_pad >= fused_threshold and dtype == jnp.bfloat16
+
+    def _dispatch(key: tuple, chunk: list[dict]):
+        """One serve_window launch for <=B_WINDOW groups padded to exactly
+        B_WINDOW — a CONSTANT bucket axis, so each (m_pad, n_pad) compiles
+        once ever instead of once per distinct pow-2 group count."""
+        if len(chunk) < B_WINDOW:
+            empty = {f: np.zeros_like(v) for f, v in chunk[0].items()}
+            empty["eidx"] = np.full_like(chunk[0]["eidx"], key[1] - 1)
+            chunk = chunk + [empty] * (B_WINDOW - len(chunk))
+        u = {f: put_win(np.stack([a[f] for a in chunk])) for f in chunk[0]}
+        return serve_window(
+            bundle, q_table, ent_t_dev, rel_t_dev,
+            u["eidx"], u["node_rows"], u["rel_ids"],
+            u["lengths"], u["topic"], u["ncnt"], u["qids"],
+            k=k, num_rounds=num_rounds,
+            num_reverse_rounds=num_reverse_rounds, dtype=dtype,
+            use_fused=_use_fused(key[0]), interpret=interp,
+        )
+
+    # Warmup pass: compile every distinct bucket shape on a zeros feed
+    # BEFORE the timed loop (auto: skipped on CPU/interpret runs, where
+    # there is no remote compile to amortize).  A production server pays
+    # this once at startup; queries_per_s then reports the steady state.
+    do_warmup = (not interp) if warmup is None else warmup
+    compile_s = 0.0
+    if do_warmup:
+        tw = time.perf_counter()
+        for key in {rec[2] for rec in group_recs}:
+            # pack_group_compact([]) IS the empty feed (eidx -> dump node).
+            v, _ = _dispatch(key, [pack_group_compact([], group_size, *key)])
+            np.asarray(v[0, 0, 0])  # fetch one element: sync incl. compile
+        compile_s = time.perf_counter() - tw
+        t1 = time.perf_counter()  # steady-state clock starts after warmup
+
+    def drain_window(pend) -> None:
+        nonlocal drain_s
+        t2 = time.perf_counter()
+        # ONE fetch per window, not per bucket or per array: each
+        # np.asarray pays a full tunnel round trip, so buckets' [B, G, k]
+        # results concat on device (bytes are tiny -- k floats+ids per
+        # question), the int32 ids bitcast into the float plane, and the
+        # whole window crosses the link in a single blocking fetch.
+        both = np.asarray(
+            jnp.concatenate(
+                [jnp.concatenate([v.reshape(-1, v.shape[-1]) for _, v, _ in pend]),
+                 jax.lax.bitcast_convert_type(
+                     jnp.concatenate(
+                         [i_.reshape(-1, i_.shape[-1]) for _, _, i_ in pend]
+                     ).astype(jnp.int32),
+                     jnp.float32,
+                 )]
+            )
+        )
+        half = both.shape[0] // 2
+        all_v = both[:half]
+        all_i = both[half:].view(np.int32)
+        off = 0
+        for meta_chunk, vals, _ in pend:
+            b_pad, g_per = vals.shape[0], vals.shape[1]
+            for gi, (idxs, group) in enumerate(meta_chunk):
+                row = off + gi * g_per
+                drain((idxs, group, all_v[row : row + g_per],
+                       all_i[row : row + g_per]))
+            off += b_pad * g_per
+        drain_s += time.perf_counter() - t2
+
+    # One-window lookahead: window w+1 packs and dispatches (async H2D +
+    # compute enqueue) BEFORE window w's blocking result fetch, so host
+    # packing and uploads overlap device compute.  Peak device residency is
+    # two windows of staged feeds (byte_budget bounds each).
+    prev_pend = None
     for win_groups in windows:
         tp = time.perf_counter()
         packed: dict[tuple, list[dict]] = {}
@@ -449,61 +560,23 @@ def serve_split(
                 pack_group_compact(group, group_size, *key)
             )
             metas.setdefault(key, []).append((idxs, group))
-        # Pad each bucket's group count to pow-2 (bounds compile count
-        # per (m_pad, n_pad); empty pad groups score to -inf and drop).
-        for key, lst in packed.items():
-            b_pad = _pow2_at_least(len(lst), lo=1)
-            empty = {f: np.zeros_like(v) for f, v in lst[0].items()}
-            empty["eidx"] = np.full_like(lst[0]["eidx"], key[1] - 1)
-            lst.extend(empty for _ in range(b_pad - len(lst)))
         pack_s += time.perf_counter() - tp
 
         td = time.perf_counter()
-        pend = []
+        pend = []  # (metas_chunk, vals, ids) per dispatched chunk
         for key, lst in packed.items():
-            u = {f: put_win(np.stack([a[f] for a in lst])) for f in lst[0]}
-            vals, ids = serve_window(
-                bundle, q_table, ent_t_dev, rel_t_dev,
-                u["eidx"], u["node_rows"], u["rel_ids"],
-                u["lengths"], u["topic"], u["ncnt"], u["qids"],
-                k=k, num_rounds=num_rounds,
-                num_reverse_rounds=num_reverse_rounds, dtype=dtype,
-                # The fused kernel computes in bf16 internally; an explicit
-                # float32 request must keep the XLA scorer.  Under a mesh the
-                # XLA scorer partitions over the question axis (a pallas_call
-                # does not auto-partition; per-shard Pallas lives in
-                # ``query_topk_sharded_fused`` for the pooled-index surface).
-                use_fused=(
-                    mesh is None
-                    and key[0] >= fused_threshold
-                    and dtype == jnp.bfloat16
-                ),
-                interpret=interp,
-            )
-            pend.append((key, vals, ids))
+            for c0 in range(0, len(lst), B_WINDOW):
+                chunk = lst[c0 : c0 + B_WINDOW]
+                vals, ids = _dispatch(key, chunk)
+                pend.append((metas[key][c0 : c0 + B_WINDOW], vals, ids))
             num_groups += len(metas[key])
         dispatch_s += time.perf_counter() - td
 
-        t2 = time.perf_counter()
-        # ONE fetch per window, not per bucket: each np.asarray pays a
-        # full tunnel round trip, so buckets' [B, G, k] results concat
-        # on device (bytes are tiny -- k floats+ids per question) and
-        # cross the link together.
-        all_v = np.asarray(
-            jnp.concatenate([v.reshape(-1, v.shape[-1]) for _, v, _ in pend])
-        )
-        all_i = np.asarray(
-            jnp.concatenate([i_.reshape(-1, i_.shape[-1]) for _, _, i_ in pend])
-        )
-        off = 0
-        for key, vals, _ in pend:
-            b_pad, g_per = vals.shape[0], vals.shape[1]
-            for gi, (idxs, group) in enumerate(metas[key]):
-                row = off + gi * g_per
-                drain((idxs, group, all_v[row : row + g_per],
-                       all_i[row : row + g_per]))
-            off += b_pad * g_per
-        drain_s += time.perf_counter() - t2
+        if prev_pend is not None:
+            drain_window(prev_pend)
+        prev_pend = pend
+    if prev_pend is not None:
+        drain_window(prev_pend)
 
     scoring_s = time.perf_counter() - t1
     out = [r for r in results if r is not None]
@@ -516,6 +589,8 @@ def serve_split(
         pack_s=round(pack_s, 4),
         dispatch_s=round(dispatch_s, 4),
         drain_s=round(drain_s, 4),
+        compile_s=round(compile_s, 4),
+        num_windows=len(windows),
     )
     return out, stats
 
