@@ -26,9 +26,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _build():
-    """Mirror bench.py's exact GFN setup (same shapes/seeds, so numbers line
-    up with bench_details.json)."""
+def _build(num_graphs: int = 16):
+    """Mirror bench.py's exact GFN setup (same shapes/seeds at the default
+    width, so numbers line up with bench_details.json).  ``num_graphs``
+    widens the batch for the TPU-occupancy sweep: at G=16 the step is
+    launch-latency bound, not compute bound."""
     from evi_rag_tpu.data.feeder import collate_agent, fixed_agent_bucket
     from evi_rag_tpu.data.g_agent import AgentSettings, build_agent_sample
     from evi_rag_tpu.data.synthetic import make_synthetic_dataset
@@ -45,7 +47,7 @@ def _build():
     from evi_rag_tpu.train.retriever_trainer import TrainState
 
     emb = 1024
-    ds = make_synthetic_dataset(num_samples=16, emb_dim=emb, max_nodes=48, seed=5)
+    ds = make_synthetic_dataset(num_samples=num_graphs, emb_dim=emb, max_nodes=48, seed=5)
     rng = np.random.default_rng(0)
     agents = []
     for s in ds.samples:
@@ -61,8 +63,8 @@ def _build():
         )
         if a is not None:
             agents.append(a)
-    agents = agents[:16]
-    bucket = fixed_agent_bucket(agents, 16)
+    agents = agents[:num_graphs]
+    bucket = fixed_agent_bucket(agents, num_graphs)
     batch = collate_agent(
         agents, entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
         question_emb=ds.question_emb, bucket=bucket,
@@ -111,10 +113,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--graphs", type=int, default=16)
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
-    cfg, mods, bundle, batch, params, tx, state, step = _build()
+    cfg, mods, bundle, batch, params, tx, state, step = _build(args.graphs)
 
     from evi_rag_tpu.models.gflownet.actor import rollout
     from evi_rag_tpu.models.gflownet.embedder import (
