@@ -594,6 +594,56 @@ def bench_gflownet_step():
     )
 
 
+def bench_gflownet_step_wide(graphs: int = 64):
+    """GFN train step at the production batch width: per-graph throughput
+    peaks near G=64 (width sweep on v5e: 1261 g/s @16, ~1650-1720 @64,
+    1472 @128 — launch latency amortizes, then backward residual traffic
+    takes over; docs/tpu_design.md).  bf16 policy + cached frozen embed —
+    the fastest faithful training configuration."""
+    import dataclasses as _dc
+    import functools
+    import importlib
+    import sys as _s
+
+    import jax
+    import jax.numpy as jnp
+
+    _s.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    pg = importlib.import_module("profile_gfn_step")
+    cfg, _, bundle, batch, _, _, _, _ = pg._build(graphs)
+
+    from evi_rag_tpu.models.gflownet.embedder import embed_agent_batch_frozen
+    from evi_rag_tpu.train.gflownet_trainer import (
+        build_modules,
+        init_gflownet_params,
+        make_gfn_train_step,
+    )
+    from evi_rag_tpu.train.optim import setup_optimizer
+    from evi_rag_tpu.train.retriever_trainer import TrainState
+
+    cfg16 = _dc.replace(cfg, compute_dtype="bfloat16")
+    mods16 = build_modules(cfg16)
+    params16 = init_gflownet_params(cfg16, mods16, bundle, batch, seed=0)
+    tx16 = setup_optimizer(cfg16.optimizer, params16)
+    st = TrainState(
+        params=params16, opt_state=jax.jit(tx16.init)(params16),
+        step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+    )
+    fe = jax.jit(functools.partial(embed_agent_batch_frozen, bundle))(batch)
+    step16 = make_gfn_train_step(mods16, tx16, cfg16, bundle)
+    st, m = step16(st, batch, fe)
+    float(m["loss"])
+    iters = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            st, m = step16(st, batch, fe)
+        float(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return graphs / best
+
+
 def bench_serve_surface(num_questions: int = 256, dim: int = 1024, k: int = 100):
     """Secondary: the product serving surface (``serve_split``, the engine
     behind ``cli serve``) at production width -- per-question subgraphs,
@@ -749,6 +799,9 @@ def main():
             details["gflownet_step_graphs_per_sec_no_precompute"] = round(gfn_qps_noprecomp, 2)
         details["gflownet_step_graphs_per_sec_sts"] = round(gfn_qps_sts, 2)
         details["gflownet_step_graphs_per_sec_sts_bf16"] = round(gfn_qps_sts16, 2)
+        details["gflownet_step_graphs_per_sec_b64_bf16"] = round(
+            bench_gflownet_step_wide(), 2
+        )
 
     def _serve():
         stats = bench_serve_surface()

@@ -681,6 +681,7 @@ def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
         cache_frozen_embed=bool(g.get("cache_frozen_embed", False)),
         compute_dtype=str(g.get("compute_dtype", "float32")),
         precompute_policy=bool(g.get("precompute_policy", True)),
+        remat_policy=bool(g.get("remat_policy", False)),
         sample_then_score=bool(g.get("sample_then_score", False)),
     )
 

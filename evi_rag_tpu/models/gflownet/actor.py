@@ -50,6 +50,13 @@ class ActorConfig:
     # f32 reassociation and the dropout rng stream; turn off to run the
     # canonical per-step policy.
     precompute_policy: bool = True
+    # Rematerialize the precomputed step tensors in the backward pass
+    # (``jax.checkpoint`` around ``precompute_steps``): the [R, T, E, H]
+    # k/v/p_edge/dropout residuals are HBM-traffic bound (measured: dropout
+    # residuals alone cost ~40% of the train step at G=64) while their
+    # forward matmuls are ~0.02 ms — the classic TPU FLOPs-for-bytes trade.
+    # Bit-identical forward; backward recomputes instead of reloading.
+    remat_policy: bool = False
     # Sample-then-score: run the sequential rollout forward-only (actions,
     # masks, env snapshots; no autodiff residuals), then recompute every
     # step's log-probs / BC stats / state embeddings in ONE batched
@@ -130,10 +137,18 @@ def rollout(
     )
     step_tensors = None
     if config.precompute_policy:
-        pre_rngs = {"dropout": jax.random.fold_in(rng, 987)} if train else None
-        step_tensors = policy.apply(
-            policy_params, edge_tokens, T, edge_base=edge_base, train=train,
-            method=GFlowNetEdgePolicy.precompute_steps, rngs=pre_rngs,
+
+        def _precompute(params, tokens, base, key):
+            rngs = {"dropout": key} if train else None
+            return policy.apply(
+                params, tokens, T, edge_base=base, train=train,
+                method=GFlowNetEdgePolicy.precompute_steps, rngs=rngs,
+            )
+
+        if config.remat_policy:
+            _precompute = jax.checkpoint(_precompute)
+        step_tensors = _precompute(
+            policy_params, edge_tokens, edge_base, jax.random.fold_in(rng, 987)
         )
 
     state0 = env_reset(

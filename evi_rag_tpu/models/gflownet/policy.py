@@ -125,11 +125,15 @@ class GFlowNetEdgePolicy(nn.Module):
             w0[h:].astype(jnp.float32),
             preferred_element_type=jnp.float32,
         )
+        cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
         drop2 = self.edge_head_drop(
-            jnp.ones((num_steps, e, h), jnp.float32), deterministic=not train
+            jnp.ones((num_steps, e, h), cd), deterministic=not train
         )
+        # bf16 mode stores the [T, E, H] tensors in the compute dtype: the
+        # canonical path's Dense/Dropout already round these to bf16, and the
+        # f32 copies were pure HBM-residual overhead in the backward pass.
         return PolicyStepTensors(
-            k=k, v=v, p_edge=p_edge,
+            k=k, v=v, p_edge=p_edge.astype(cd),
             sum_e=b.sum(-1), sumsq_e=(b * b).sum(-1), drop2=drop2,
         )
 
@@ -182,7 +186,8 @@ class GFlowNetEdgePolicy(nn.Module):
         u = gamma @ w0                                         # [H]
         const = beta @ w0 + b0                                 # [H]
         h_pre = (
-            p_state[edge_batch] + step.p_edge - mu[:, None] * u[None, :]
+            p_state[edge_batch] + step.p_edge.astype(jnp.float32)
+            - mu[:, None] * u[None, :]
         ) * inv[:, None] + const[None, :]
         hh = _gelu_exact(h_pre.astype(cd)) * step.drop2.astype(cd)
         edge_logits = self.edge_head_1(hh)[..., 0].astype(jnp.float32)

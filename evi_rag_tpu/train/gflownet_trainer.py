@@ -84,6 +84,9 @@ class GFlowNetConfig:
     # Hoist per-step edge-axis policy matmuls out of the rollout scan (see
     # ActorConfig.precompute_policy).
     precompute_policy: bool = True
+    # Recompute (don't store) the hoisted step tensors in the backward pass
+    # (see ActorConfig.remat_policy).
+    remat_policy: bool = False
     # Two-pass rollout: forward-only sampling scan + one batched
     # differentiable score pass over the step axis (see
     # ActorConfig.sample_then_score).
@@ -96,6 +99,7 @@ class GFlowNetConfig:
             policy_temperature=self.policy_temperature,
             stop_on_answer=self.stop_on_answer,
             precompute_policy=self.precompute_policy,
+            remat_policy=self.remat_policy,
             sample_then_score=self.sample_then_score,
         )
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _build(num_graphs: int = 16):
+def _build(num_graphs: int = 16, dropout: float = 0.1, remat: bool = False):
     """Mirror bench.py's exact GFN setup (same shapes/seeds at the default
     width, so numbers line up with bench_details.json).  ``num_graphs``
     widens the batch for the TPU-occupancy sweep: at G=16 the step is
@@ -82,7 +82,7 @@ def _build(num_graphs: int = 16):
     bundle = export_retriever_features(rp["params"], retr.parity_meta())
     cfg = GFlowNetConfig(
         hidden_dim=emb, max_steps=3, num_train_rollouts=4, bc_weight=0.5,
-        total_steps=100, dropout=0.1, optimizer=OptimizerConfig(name="adamw", learning_rate=1e-4),
+        total_steps=100, dropout=dropout, remat_policy=remat, optimizer=OptimizerConfig(name="adamw", learning_rate=1e-4),
     )
     mods = build_modules(cfg)
     params = init_gflownet_params(cfg, mods, bundle, batch, seed=0)
@@ -114,10 +114,12 @@ def main():
     ap.add_argument("--trace", default=None, help="jax.profiler trace output dir")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--graphs", type=int, default=16)
+    ap.add_argument("--dropout", type=float, default=0.1)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     print(f"devices: {jax.devices()}")
-    cfg, mods, bundle, batch, params, tx, state, step = _build(args.graphs)
+    cfg, mods, bundle, batch, params, tx, state, step = _build(args.graphs, args.dropout, args.remat)
 
     from evi_rag_tpu.models.gflownet.actor import rollout
     from evi_rag_tpu.models.gflownet.embedder import (
