@@ -644,17 +644,29 @@ def bench_gflownet_step_wide(graphs: int = 64):
     return graphs / best
 
 
-def bench_serve_surface(num_questions: int = 256, dim: int = 1024, k: int = 100):
+def bench_serve_surface(
+    num_questions: int = 256, dim: int = 1024, k: int = 100, *, realistic: bool = False
+):
     """Secondary: the product serving surface (``serve_split``, the engine
     behind ``cli serve``) at production width -- per-question subgraphs,
     D=1024, top-100.  Reported warm (tables projected, kernels compiled);
-    the phase breakdown shows where the next bottleneck is."""
+    the phase breakdown shows where the next bottleneck is.
+
+    ``realistic=True`` sizes per-question subgraphs like the WebQSP-scale
+    build (median ~1.2k edges, wide spread across the pow-2 bucket ladder)
+    instead of the toy 64-node graphs -- the operating point that exposed the
+    round-4 serve redesign (19 -> 193 q/s; docs/serving.md)."""
     from evi_rag_tpu.data.synthetic import make_synthetic_dataset
     from evi_rag_tpu.serving import project_tables, serve_split
 
+    size_kw = (
+        dict(min_nodes=128, max_nodes=1024, avg_extra_edges=3.0, num_entities=16384)
+        if realistic
+        else dict(max_nodes=64, num_entities=4096)
+    )
     ds = make_synthetic_dataset(
-        num_samples=num_questions, emb_dim=dim, num_entities=4096,
-        num_relations=64, max_nodes=64, seed=7,
+        num_samples=num_questions, emb_dim=dim,
+        num_relations=64, seed=7, **size_kw,
     )
     struct_dim = 2 * 2 * (1 + 2 + 2)
     bundle = make_bundle(dim, dim, struct_dim, seed=11)
@@ -674,6 +686,18 @@ def bench_serve_surface(num_questions: int = 256, dim: int = 1024, k: int = 100)
 
 
 def main():
+    # Persistent compilation cache (same default as the CLI): round-over-round
+    # driver runs recompile nothing, which both shortens the run and removes
+    # compile jitter from the steady-state serve/step numbers.
+    import jax as _jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_comp_cache")
+    )
+    if cache_dir and cache_dir != "0":
+        _jax.config.update("jax_compilation_cache_dir", cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
     dim, hidden = 1024, 1024
     struct_dim = 2 * 2 * (1 + 2 + 2)  # edge struct = concat(head, tail) topic features
     num_candidates = 131072
@@ -811,10 +835,22 @@ def main():
         details["serve_drain_s"] = stats.drain_s
         details["serve_index_build_s"] = stats.index_build_s
 
+    def _serve_realistic():
+        # WebQSP-scale subgraph widths (median ~1.2k edges): the product
+        # operating point.  Steady-state q/s; compiles amortize via the
+        # warmup pre-compile + the persistent compile cache.  1024 questions:
+        # a ~10 s timed window, long enough that per-RPC tunnel jitter stops
+        # dominating (256-question windows measured 68-104 q/s run-to-run).
+        stats = bench_serve_surface(num_questions=1024, realistic=True)
+        details["serve_qps_realistic_1024q_d1024"] = stats.queries_per_s
+        details["serve_realistic_dispatch_s"] = stats.dispatch_s
+        details["serve_realistic_drain_s"] = stats.drain_s
+
     _secondary("knn", _knn)
     _secondary("train step", _train)
     _secondary("gflownet step", _gfn)
     _secondary("serve surface", _serve)
+    _secondary("serve realistic", _serve_realistic)
     print(json.dumps(details), file=sys.stderr)
     _write_details()
 

@@ -50,12 +50,24 @@ class ActorConfig:
     # f32 reassociation and the dropout rng stream; turn off to run the
     # canonical per-step policy.
     precompute_policy: bool = True
-    # Rematerialize the precomputed step tensors in the backward pass
-    # (``jax.checkpoint`` around ``precompute_steps``): the [R, T, E, H]
-    # k/v/p_edge/dropout residuals are HBM-traffic bound (measured: dropout
-    # residuals alone cost ~40% of the train step at G=64) while their
-    # forward matmuls are ~0.02 ms — the classic TPU FLOPs-for-bytes trade.
-    # Bit-identical forward; backward recomputes instead of reloading.
+    # Rematerialize the policy's [T, E, H] tensors in the backward pass.
+    # In ``sample_then_score`` mode this wraps the ENTIRE batched score pass
+    # (precompute_steps -> encode_states_batched -> apply_precomputed ->
+    # log-prob gathers) in one ``jax.checkpoint``, so no [T, E, H] tensor —
+    # k/v/p_edge/dropout masks/edge-head activations — survives as a
+    # residual; the backward pass recomputes them from ``edge_base`` + the
+    # rng key (threefry is deterministic, so the masks are identical).
+    # MEASURED A/B on v5e at G=64 (docs/tpu_design.md): a LOSS — sts 1534 ->
+    # sts_remat 1232 graphs/s.  The recompute re-pays a full score-pass
+    # forward (~17.6 ms) while the residual IO it saves is only ~6-10 ms:
+    # the dropout cost identified earlier (step 2695 graphs/s with dropout
+    # off) is dominated by the LOST CROSS-STEP CSE (per-step masks force 4x
+    # the edge-axis compute+traffic), which remat cannot recover.  Kept as
+    # an off-by-default knob for memory-constrained configs (it does shrink
+    # peak residency) and as the recorded negative result.  In the canonical
+    # path this wraps only ``precompute_steps``, whose outputs are by
+    # definition materialized at the boundary — measured neutral.
+    # Bit-identical forward either way (tests/test_gflownet_sts.py).
     remat_policy: bool = False
     # Sample-then-score: run the sequential rollout forward-only (actions,
     # masks, env snapshots; no autodiff residuals), then recompute every
@@ -330,7 +342,8 @@ def _rollout_sample_then_score(
         question_tokens=embed.question_tokens.astype(jnp.float32),
         method=StateEncoder.precompute,
     )
-    pre_rngs = {"dropout": jax.random.fold_in(rng, 987)} if train else None
+    pre_key = jax.random.fold_in(rng, 987)
+    pre_rngs = {"dropout": pre_key} if train else None
     step_tensors = policy.apply(
         policy_params, edge_tokens, T, train=train,
         method=GFlowNetEdgePolicy.precompute_steps, rngs=pre_rngs,
@@ -425,33 +438,72 @@ def _rollout_sample_then_score(
     cum_cnt = jnp.cumsum(acting.astype(jnp.float32), axis=0) - acting
     action_hidden_seq = cum_emb / jnp.maximum(cum_cnt, 1.0)[..., None]
 
-    state_tokens_seq = state_encoder.apply(
-        encoder_params, cache, batch,
-        active_seq=active_seq, counts_seq=counts_seq,
-        action_hidden_seq=action_hidden_seq,
-        method=StateEncoder.encode_states_batched,
-    )                                                        # [T, G, H]
-
-    def score_step(st_t, state_tokens, valid):
-        return policy.apply(
-            policy_params, st_t, state_tokens, gb.edge_batch, valid,
-            method=GFlowNetEdgePolicy.apply_precomputed,
-        )
-
-    edge_logits_seq, stop_logits_seq, state_out_seq = jax.vmap(score_step)(
-        step_tensors, state_tokens_seq, valid_seq
-    )
-    lp_edge_seq, lp_stop_seq, _ = jax.vmap(
-        lambda e, s, v: log_probs_edges(e, s, gb.edge_batch, v, g, temp)
-    )(edge_logits_seq, stop_logits_seq, valid_seq)
-
-    is_stop = actions_t == STOP_ACTION
-    log_pf_t = jnp.where(
-        is_stop, lp_stop_seq, jnp.take_along_axis(lp_edge_seq, safe, axis=1)
-    )
-    log_pf_t = jnp.where(done_seq, 0.0, log_pf_t)            # [T, G]
-
     want_bc = dag_edge_mask is not None
+    is_stop = actions_t == STOP_ACTION
+
+    def _score_pass(policy_params, encoder_params, edge_tokens, cache,
+                    action_hidden_seq, st, pre_key):
+        """edge_base -> per-step log-probs, reduced to [T, G] inside.
+
+        Under ``remat_policy`` this whole function sits inside one
+        ``jax.checkpoint``: ``st=None`` makes it recompute the step tensors
+        from ``edge_tokens`` + ``pre_key`` (identical dropout masks to the
+        sampling scan's copy), and every [T, E(,H)]-sized intermediate dies
+        at the boundary — the only residuals the outer autodiff keeps are
+        this function's inputs and its [T, G(,H)] outputs."""
+        if st is None:
+            st = policy.apply(
+                policy_params, edge_tokens, T, train=train,
+                method=GFlowNetEdgePolicy.precompute_steps,
+                rngs={"dropout": pre_key} if train else None,
+            )
+        state_tokens_seq = state_encoder.apply(
+            encoder_params, cache, batch,
+            active_seq=active_seq, counts_seq=counts_seq,
+            action_hidden_seq=action_hidden_seq,
+            method=StateEncoder.encode_states_batched,
+        )                                                    # [T, G, H]
+
+        def score_step(st_t, state_tokens, valid):
+            return policy.apply(
+                policy_params, st_t, state_tokens, gb.edge_batch, valid,
+                method=GFlowNetEdgePolicy.apply_precomputed,
+            )
+
+        edge_logits_seq, stop_logits_seq, state_out_seq = jax.vmap(score_step)(
+            st, state_tokens_seq, valid_seq
+        )
+        lp_edge_seq, lp_stop_seq, _ = jax.vmap(
+            lambda e, s, v: log_probs_edges(e, s, gb.edge_batch, v, g, temp)
+        )(edge_logits_seq, stop_logits_seq, valid_seq)
+
+        log_pf_t = jnp.where(
+            is_stop, lp_stop_seq, jnp.take_along_axis(lp_edge_seq, safe, axis=1)
+        )
+        log_pf_t = jnp.where(done_seq, 0.0, log_pf_t)        # [T, G]
+
+        if want_bc:
+            bc_mask_seq = valid_seq & dag_edge_mask[None]    # [T, E]
+            bc_lse = jax.vmap(
+                lambda lp, m: segment_logsumexp(lp, gb.edge_batch, g, mask=m)
+            )(lp_edge_seq, bc_mask_seq)
+            bc_cnt = jax.vmap(
+                lambda m: segment_sum(m.astype(jnp.float32), gb.edge_batch, g)
+            )(bc_mask_seq)
+        else:
+            bc_lse = bc_cnt = jnp.zeros((T, g), jnp.float32)
+        return log_pf_t, state_out_seq, bc_lse, bc_cnt
+
+    if config.remat_policy:
+        log_pf_t, state_out_seq, bc_lse, bc_cnt = jax.checkpoint(_score_pass)(
+            policy_params, encoder_params, edge_tokens, cache,
+            action_hidden_seq, None, pre_key,
+        )
+    else:
+        log_pf_t, state_out_seq, bc_lse, bc_cnt = _score_pass(
+            policy_params, encoder_params, edge_tokens, cache,
+            action_hidden_seq, step_tensors, pre_key,
+        )
     result = {
         "log_pf": jnp.sum(log_pf_t, axis=0),
         "log_pf_steps": log_pf_t.T,
@@ -468,13 +520,6 @@ def _rollout_sample_then_score(
         "answer_hits": final_state.answer_hits,
     }
     if want_bc:
-        bc_mask_seq = valid_seq & dag_edge_mask[None]        # [T, E]
-        bc_lse = jax.vmap(
-            lambda lp, m: segment_logsumexp(lp, gb.edge_batch, g, mask=m)
-        )(lp_edge_seq, bc_mask_seq)
-        bc_cnt = jax.vmap(
-            lambda m: segment_sum(m.astype(jnp.float32), gb.edge_batch, g)
-        )(bc_mask_seq)
         bc_valid = bc_cnt > 0
         bc_loss_sum = jnp.sum(jnp.where(bc_valid, -bc_lse, 0.0), axis=0)
         bc_step_counts = jnp.sum(bc_valid.astype(jnp.float32), axis=0)

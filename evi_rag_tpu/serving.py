@@ -465,7 +465,29 @@ def serve_split(
     if cur:
         windows.append(cur)
 
-    B_WINDOW = int(os.environ.get("EVI_SERVE_B_WINDOW", 8))
+    # Dispatch-width ladder: full chunks of B_LARGE groups ride one big
+    # launch; the remainder goes in B_SMALL chunks (padding < B_SMALL).  Each
+    # (bucket, B) pair compiles once ever; at WebQSP scale a bucket holds
+    # hundreds of groups, so the big width cuts per-RPC dispatch count ~8x
+    # where dispatch latency ~= scoring time (docs/serving.md).
+    B_SMALL = int(os.environ.get("EVI_SERVE_B_WINDOW", 8))
+    B_LARGE = max(int(os.environ.get("EVI_SERVE_B_WINDOW_MAX", 64)), B_SMALL)
+
+    def _chunk_plan(n: int) -> list[int]:
+        """Chunk capacities covering ``n`` groups: B_LARGE while full chunks
+        remain, then B_SMALL, with the FINAL chunk capped at the pow-2 above
+        its actual count.  Padded groups compute at full width, so a bucket
+        holding 3 real groups must not pay an 8-wide launch (measured at the
+        realistic serve point: ~2.5x group-compute waste across buckets);
+        pow-2 capacities keep the compiled-shape set small and reusable."""
+        plan = [B_LARGE] * (n // B_LARGE)
+        rem = n - B_LARGE * len(plan)
+        while rem >= B_SMALL:
+            plan.append(B_SMALL)
+            rem -= B_SMALL
+        if rem:
+            plan.append(_pow2_at_least(rem))
+        return plan
 
     def _use_fused(m_pad: int) -> bool:
         # The fused kernel computes in bf16 internally; an explicit
@@ -479,14 +501,15 @@ def serve_split(
         # (1.14x at 256 -> 1.55x at 8192).
         return mesh is None and m_pad >= fused_threshold and dtype == jnp.bfloat16
 
-    def _dispatch(key: tuple, chunk: list[dict]):
-        """One serve_window launch for <=B_WINDOW groups padded to exactly
-        B_WINDOW — a CONSTANT bucket axis, so each (m_pad, n_pad) compiles
-        once ever instead of once per distinct pow-2 group count."""
-        if len(chunk) < B_WINDOW:
+    def _dispatch(key: tuple, chunk: list[dict], b_cap: int):
+        """One serve_window launch for <=b_cap groups padded to exactly
+        b_cap — a CONSTANT bucket axis per ladder width, so each
+        (m_pad, n_pad, b_cap) compiles once ever instead of once per
+        distinct pow-2 group count."""
+        if len(chunk) < b_cap:
             empty = {f: np.zeros_like(v) for f, v in chunk[0].items()}
             empty["eidx"] = np.full_like(chunk[0]["eidx"], key[1] - 1)
-            chunk = chunk + [empty] * (B_WINDOW - len(chunk))
+            chunk = chunk + [empty] * (b_cap - len(chunk))
         u = {f: put_win(np.stack([a[f] for a in chunk])) for f in chunk[0]}
         return serve_window(
             bundle, q_table, ent_t_dev, rel_t_dev,
@@ -505,9 +528,18 @@ def serve_split(
     compile_s = 0.0
     if do_warmup:
         tw = time.perf_counter()
-        for key in {rec[2] for rec in group_recs}:
+        # Exactly the (bucket shape, ladder width) pairs the dispatch plan
+        # will use — no speculative compiles.
+        used_shapes: set[tuple] = set()
+        for win_groups in windows:
+            per_key: dict[tuple, int] = {}
+            for _, _, key, _ in win_groups:
+                per_key[key] = per_key.get(key, 0) + 1
+            for key, cnt in per_key.items():
+                used_shapes.update((key, b) for b in set(_chunk_plan(cnt)))
+        for key, b_cap in used_shapes:
             # pack_group_compact([]) IS the empty feed (eidx -> dump node).
-            v, _ = _dispatch(key, [pack_group_compact([], group_size, *key)])
+            v, _ = _dispatch(key, [pack_group_compact([], group_size, *key)], b_cap)
             np.asarray(v[0, 0, 0])  # fetch one element: sync incl. compile
         compile_s = time.perf_counter() - tw
         t1 = time.perf_counter()  # steady-state clock starts after warmup
@@ -565,10 +597,12 @@ def serve_split(
         td = time.perf_counter()
         pend = []  # (metas_chunk, vals, ids) per dispatched chunk
         for key, lst in packed.items():
-            for c0 in range(0, len(lst), B_WINDOW):
-                chunk = lst[c0 : c0 + B_WINDOW]
-                vals, ids = _dispatch(key, chunk)
-                pend.append((metas[key][c0 : c0 + B_WINDOW], vals, ids))
+            c0 = 0
+            for b_cap in _chunk_plan(len(lst)):
+                chunk = lst[c0 : c0 + b_cap]
+                vals, ids = _dispatch(key, chunk, b_cap)
+                pend.append((metas[key][c0 : c0 + b_cap], vals, ids))
+                c0 += b_cap
             num_groups += len(metas[key])
         dispatch_s += time.perf_counter() - td
 

@@ -190,6 +190,10 @@ def main():
     for label, over in (
         ("sts", dict(sample_then_score=True)),
         ("sts_bf16", dict(sample_then_score=True, compute_dtype="bfloat16")),
+        ("sts_remat", dict(sample_then_score=True, remat_policy=True)),
+        ("sts_remat_bf16", dict(
+            sample_then_score=True, remat_policy=True, compute_dtype="bfloat16"
+        )),
     ):
         cfg_v = dataclasses.replace(cfg, **over)
         from evi_rag_tpu.train.gflownet_trainer import build_modules, init_gflownet_params

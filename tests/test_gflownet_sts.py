@@ -170,3 +170,65 @@ def test_sts_train_step_end_to_end(setup):  # noqa: F811
         losses[sts] = float(out["loss"])
         assert np.isfinite(losses[sts])
     np.testing.assert_allclose(losses[False], losses[True], rtol=1e-3, atol=1e-4)
+
+
+def test_sts_remat_parity(setup):  # noqa: F811
+    """``remat_policy`` under STS wraps the whole batched score pass in one
+    ``jax.checkpoint``: the forward pass must be IDENTICAL (the recomputed
+    ``precompute_steps`` uses the same rng key, and checkpoint does not
+    change forward math), and gradients must match the non-remat STS path --
+    the backward pass recomputes the [T, E, H] tensors instead of reloading
+    them, which is a scheduling change only."""
+    cfg, modules, params, batch, embed, dag = _prep(setup, dropout=0.3)
+    key = jax.random.key(21)
+
+    def run(remat, train):
+        actor_cfg = dataclasses.replace(
+            cfg.actor, sample_then_score=True, remat_policy=remat
+        )
+        return jax.jit(
+            lambda k: rollout(
+                policy=modules.policy, state_encoder=modules.state_encoder,
+                policy_params=params["policy"], encoder_params=params["state_encoder"],
+                batch=batch, embed=embed, rng=k, config=actor_cfg,
+                dag_edge_mask=dag, train=train,
+            )
+        )(key)
+
+    for train in (False, True):
+        a, b = run(False, train), run(True, train)
+        np.testing.assert_array_equal(
+            np.asarray(a["actions_seq"]), np.asarray(b["actions_seq"])
+        )
+        for k in ("log_pf_steps", "state_emb_seq", "bc_loss_per_graph"):
+            np.testing.assert_allclose(
+                np.asarray(a[k]), np.asarray(b[k]), rtol=1e-5, atol=1e-6, err_msg=k
+            )
+
+    def grads(remat):
+        actor_cfg = dataclasses.replace(
+            cfg.actor, sample_then_score=True, remat_policy=remat
+        )
+
+        def loss_fn(p):
+            ro = rollout(
+                policy=modules.policy, state_encoder=modules.state_encoder,
+                policy_params=p["policy"], encoder_params=p["state_encoder"],
+                batch=batch, embed=embed, rng=key, config=actor_cfg,
+                dag_edge_mask=dag, train=True,
+            )
+            return (
+                jnp.sum(ro["log_pf_steps"] ** 2)
+                + jnp.sum(ro["state_emb_seq"] ** 2)
+                + jnp.sum(ro["bc_loss_per_graph"])
+            )
+
+        trainable = {k: params[k] for k in ("policy", "state_encoder")}
+        return jax.grad(lambda p: loss_fn({**params, **p}))(trainable)
+
+    ga, gb = grads(False), grads(True)
+    flat_a, _ = jax.tree.flatten(ga)
+    flat_b, _ = jax.tree.flatten(gb)
+    assert any(float(jnp.abs(x).max()) > 0 for x in flat_a), "degenerate test: zero grads"
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), rtol=1e-4, atol=1e-6)

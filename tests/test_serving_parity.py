@@ -371,3 +371,39 @@ def test_serve_split_dp_odd_group_size_and_counts():
     for r in res_1d:
         got = by_id[r.sample_id]
         assert set(got.edge_ids.tolist()) == set(r.edge_ids.tolist()), r.sample_id
+
+
+def test_serve_split_dispatch_ladder_parity(monkeypatch):
+    """The B-window dispatch ladder (full B_LARGE chunks + B_SMALL remainder,
+    each padded to its capacity) returns results identical to the flat
+    B_SMALL-only plan, including with the warmup pre-compile pass that
+    compiles exactly the (bucket, width) pairs the plan uses."""
+    from evi_rag_tpu.serving import serve_split
+
+    ds = make_synthetic_dataset(num_samples=11, emb_dim=EMB, max_nodes=14, seed=13)
+    model = Retriever(emb_dim=EMB, hidden_dim=EMB, dropout_p=0.0)
+    bucket = Bucket(graphs=2, nodes=64, edges=256)
+    batch0 = collate_retriever(
+        ds.samples[:1], entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, bucket=bucket,
+    )
+    params = jax.jit(model.init)(jax.random.key(3), batch0)
+    bundle = export_retriever_features(params["params"], model.parity_meta())
+    kw = dict(
+        entity_emb=ds.entity_emb, relation_emb=ds.relation_emb,
+        question_emb=ds.question_emb, k=10, num_rounds=2, num_reverse_rounds=2,
+        group_size=1, dtype=jnp.float32, warmup=True,
+    )
+
+    monkeypatch.setenv("EVI_SERVE_B_WINDOW", "2")
+    monkeypatch.setenv("EVI_SERVE_B_WINDOW_MAX", "4")
+    ladder, stats_l = serve_split(bundle, ds.samples, **kw)
+
+    monkeypatch.setenv("EVI_SERVE_B_WINDOW_MAX", "2")
+    flat, _ = serve_split(bundle, ds.samples, **kw)
+
+    assert stats_l.num_questions == len(ds.samples)
+    by_id = {r.sample_id: r for r in flat}
+    for r in ladder:
+        np.testing.assert_array_equal(r.edge_ids, by_id[r.sample_id].edge_ids)
+        np.testing.assert_array_equal(r.scores, by_id[r.sample_id].scores)
