@@ -84,7 +84,7 @@ def _write_details() -> None:
     try:
         import pathlib
 
-        pathlib.Path("bench_details.json").write_text(json.dumps(DETAILS, indent=2))
+        pathlib.Path("bench_details.json").write_text(json.dumps(DETAILS, indent=2) + "\n")
     except OSError:
         pass
 
@@ -645,7 +645,8 @@ def bench_gflownet_step_wide(graphs: int = 64):
 
 
 def bench_serve_surface(
-    num_questions: int = 256, dim: int = 1024, k: int = 100, *, realistic: bool = False
+    num_questions: int = 256, dim: int = 1024, k: int = 100,
+    *, realistic: bool = False, passes: int = 5,
 ):
     """Secondary: the product serving surface (``serve_split``, the engine
     behind ``cli serve``) at production width -- per-question subgraphs,
@@ -655,7 +656,15 @@ def bench_serve_surface(
     ``realistic=True`` sizes per-question subgraphs like the WebQSP-scale
     build (median ~1.2k edges, wide spread across the pow-2 bucket ladder)
     instead of the toy 64-node graphs -- the operating point that exposed the
-    round-4 serve redesign (19 -> 193 q/s; docs/serving.md)."""
+    round-4 serve redesign (19 -> 193 q/s; docs/serving.md).
+
+    Jitter-robust protocol (VERDICT r4 #1): the remote-TPU tunnel adds
+    seconds of per-run RPC variance (round-4 captures of the SAME code
+    ranged 68-194 q/s), so the headline is the MEDIAN of ``passes`` warm
+    split passes, with every pass's q/s returned for dispersion reporting.
+    Returns ``(median_stats, all_qps, best_qps)``."""
+    import statistics
+
     from evi_rag_tpu.data.synthetic import make_synthetic_dataset
     from evi_rag_tpu.serving import project_tables, serve_split
 
@@ -677,12 +686,13 @@ def bench_serve_surface(
         projected=projected,
     )
     serve_split(bundle, ds.samples, **kw)  # cold: per-bucket compiles
-    best = None
-    for _ in range(3):
+    runs = []
+    for _ in range(passes):
         _, stats = serve_split(bundle, ds.samples, **kw)
-        if best is None or stats.queries_per_s > best.queries_per_s:
-            best = stats
-    return best
+        runs.append(stats)
+    runs.sort(key=lambda s: s.queries_per_s)
+    all_qps = [s.queries_per_s for s in runs]
+    return runs[len(runs) // 2], all_qps, max(all_qps)
 
 
 def main():
@@ -827,24 +837,37 @@ def main():
             bench_gflownet_step_wide(), 2
         )
 
+    def _serve_keys(prefix: str, stats, all_qps, best_qps):
+        # Identical phase-key set for every serve point (ADVICE r4): the
+        # headline is the MEDIAN pass; all_qps shows tunnel dispersion.
+        details[prefix] = stats.queries_per_s
+        base = prefix.rsplit("_qps", 1)[0] + (
+            "_realistic" if "realistic" in prefix else ""
+        )
+        details[f"{base}_qps_all_passes"] = all_qps
+        details[f"{base}_qps_best"] = best_qps
+        details[f"{base}_pack_s"] = stats.pack_s
+        details[f"{base}_dispatch_s"] = stats.dispatch_s
+        details[f"{base}_drain_s"] = stats.drain_s
+        details[f"{base}_index_build_s"] = stats.index_build_s
+        wall = max(stats.scoring_s, 1e-9)
+        details[f"{base}_drain_frac"] = round(stats.drain_s / wall, 3)
+        details[f"{base}_dispatch_frac"] = round(stats.dispatch_s / wall, 3)
+
     def _serve():
-        stats = bench_serve_surface()
-        details["serve_qps_warm_256q_d1024"] = stats.queries_per_s
-        details["serve_pack_s"] = stats.pack_s
-        details["serve_dispatch_s"] = stats.dispatch_s
-        details["serve_drain_s"] = stats.drain_s
-        details["serve_index_build_s"] = stats.index_build_s
+        stats, all_qps, best_qps = bench_serve_surface()
+        _serve_keys("serve_qps_warm_256q_d1024", stats, all_qps, best_qps)
 
     def _serve_realistic():
         # WebQSP-scale subgraph widths (median ~1.2k edges): the product
-        # operating point.  Steady-state q/s; compiles amortize via the
-        # warmup pre-compile + the persistent compile cache.  1024 questions:
-        # a ~10 s timed window, long enough that per-RPC tunnel jitter stops
-        # dominating (256-question windows measured 68-104 q/s run-to-run).
-        stats = bench_serve_surface(num_questions=1024, realistic=True)
-        details["serve_qps_realistic_1024q_d1024"] = stats.queries_per_s
-        details["serve_realistic_dispatch_s"] = stats.dispatch_s
-        details["serve_realistic_drain_s"] = stats.drain_s
+        # operating point.  Median of five ~10 s windows (1024 questions
+        # each): long windows + median-of-N make the number reproducible
+        # across driver captures despite per-RPC tunnel jitter (VERDICT r4
+        # #1 -- single short windows measured 68-194 q/s run-to-run).
+        stats, all_qps, best_qps = bench_serve_surface(
+            num_questions=1024, realistic=True
+        )
+        _serve_keys("serve_qps_realistic_1024q_d1024", stats, all_qps, best_qps)
 
     _secondary("knn", _knn)
     _secondary("train step", _train)

@@ -965,6 +965,11 @@ def task_reasoner(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
                     model_name=str(r.get("model_name", "mock")),
                     backend=str(r.get("backend", "mock")),
                     temperature=float(r.get("temperature", 0.0)),
+                    max_tokens=int(r.get("max_tokens", 1024)),
+                    ollama_base_url=str(
+                        r.get("ollama_base_url", "http://localhost:11434")
+                    ),
+                    ollama_timeout=float(r.get("ollama_timeout", 120.0)),
                     mock_response=mock_resp,
                 )
             )
