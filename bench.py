@@ -621,27 +621,42 @@ def bench_gflownet_step_wide(graphs: int = 64):
     from evi_rag_tpu.train.optim import setup_optimizer
     from evi_rag_tpu.train.retriever_trainer import TrainState
 
-    cfg16 = _dc.replace(cfg, compute_dtype="bfloat16")
-    mods16 = build_modules(cfg16)
-    params16 = init_gflownet_params(cfg16, mods16, bundle, batch, seed=0)
-    tx16 = setup_optimizer(cfg16.optimizer, params16)
-    st = TrainState(
-        params=params16, opt_state=jax.jit(tx16.init)(params16),
-        step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
-    )
     fe = jax.jit(functools.partial(embed_agent_batch_frozen, bundle))(batch)
-    step16 = make_gfn_train_step(mods16, tx16, cfg16, bundle)
-    st, m = step16(st, batch, fe)
-    float(m["loss"])
-    iters = 5
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            st, m = step16(st, batch, fe)
+
+    def _timed(cfg_v, iters=5):
+        mods_v = build_modules(cfg_v)
+        params_v = init_gflownet_params(cfg_v, mods_v, bundle, batch, seed=0)
+        tx_v = setup_optimizer(cfg_v.optimizer, params_v)
+        st = TrainState(
+            params=params_v, opt_state=jax.jit(tx_v.init)(params_v),
+            step=jnp.zeros((), jnp.int32), rng=jax.random.key(1),
+        )
+        step_v = make_gfn_train_step(mods_v, tx_v, cfg_v, bundle)
+        st, m = step_v(st, batch, fe)
         float(m["loss"])
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return graphs / best
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                st, m = step_v(st, batch, fe)
+            float(m["loss"])
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return graphs / best
+
+    cfg16 = _dc.replace(cfg, compute_dtype="bfloat16")
+    out = {"b64_bf16": _timed(cfg16)}
+    # Residual-traffic knob A/B at the production point (VERDICT r4 #5):
+    # "dots" remat (dots_saveable: matmul results saved, elementwise chains
+    # — the dropout-masked edge_repr expansion, edge-head activations —
+    # recomputed in the backward) on both the canonical and the
+    # sample-then-score rollout.
+    if os.environ.get("EVI_BENCH_GFN_KNOBS", "1") == "1":
+        out["b64_bf16_dots"] = _timed(_dc.replace(cfg16, remat_policy="dots"))
+        out["b64_bf16_sts"] = _timed(_dc.replace(cfg16, sample_then_score=True))
+        out["b64_bf16_sts_dots"] = _timed(
+            _dc.replace(cfg16, sample_then_score=True, remat_policy="dots")
+        )
+    return out
 
 
 def bench_serve_surface(
@@ -833,9 +848,8 @@ def main():
             details["gflownet_step_graphs_per_sec_no_precompute"] = round(gfn_qps_noprecomp, 2)
         details["gflownet_step_graphs_per_sec_sts"] = round(gfn_qps_sts, 2)
         details["gflownet_step_graphs_per_sec_sts_bf16"] = round(gfn_qps_sts16, 2)
-        details["gflownet_step_graphs_per_sec_b64_bf16"] = round(
-            bench_gflownet_step_wide(), 2
-        )
+        for lbl, v in bench_gflownet_step_wide().items():
+            details[f"gflownet_step_graphs_per_sec_{lbl}"] = round(v, 2)
 
     def _serve_keys(prefix: str, stats, all_qps, best_qps):
         # Identical phase-key set for every serve point (ADVICE r4): the

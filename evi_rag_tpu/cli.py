@@ -681,7 +681,10 @@ def _gfn_cfg(cfg: dict, *, inferred_dim: int | None = None):
         cache_frozen_embed=bool(g.get("cache_frozen_embed", False)),
         compute_dtype=str(g.get("compute_dtype", "float32")),
         precompute_policy=bool(g.get("precompute_policy", True)),
-        remat_policy=bool(g.get("remat_policy", False)),
+        # false | true | "dots" (surgical dots_saveable remat).
+        remat_policy=(lambda v: v if isinstance(v, str) else bool(v))(
+            g.get("remat_policy", False)
+        ),
         sample_then_score=bool(g.get("sample_then_score", False)),
     )
 

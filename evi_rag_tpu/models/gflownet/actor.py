@@ -39,6 +39,15 @@ from evi_rag_tpu.ops.segment import NEG_INF, segment_argmax, segment_logsumexp, 
 MIN_TEMPERATURE = 1e-5
 
 
+def _remat_policy_of(config: "ActorConfig"):
+    """jax.checkpoint policy for ``remat_policy``: ``True`` -> recompute
+    everything (None policy); ``"dots"`` -> save matmul results, recompute
+    only elementwise chains (dropout expansions, LayerNorm/GELU activations)."""
+    if config.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    return None
+
+
 @dataclasses.dataclass(frozen=True)
 class ActorConfig:
     max_steps: int
@@ -68,7 +77,16 @@ class ActorConfig:
     # path this wraps only ``precompute_steps``, whose outputs are by
     # definition materialized at the boundary — measured neutral.
     # Bit-identical forward either way (tests/test_gflownet_sts.py).
-    remat_policy: bool = False
+    #
+    # ``"dots"``: the SURGICAL variant — same checkpoint boundaries but with
+    # ``jax.checkpoint_policies.dots_saveable``, so every matmul result
+    # (k/v/p_edge, attention dots, heads) is SAVED and only the elementwise
+    # chains (the dropout-masked ``edge_repr`` expansion, the edge-head
+    # LayerNorm/GELU/mask activations) rematerialize in the backward pass.
+    # This keeps exactly the residuals the full-remat experiment lost
+    # (17.6 ms of re-paid matmuls) while still killing the [T, E, H]
+    # elementwise residuals the round-4 dropout attribution blamed.
+    remat_policy: bool | str = False
     # Sample-then-score: run the sequential rollout forward-only (actions,
     # masks, env snapshots; no autodiff residuals), then recompute every
     # step's log-probs / BC stats / state embeddings in ONE batched
@@ -158,7 +176,7 @@ def rollout(
             )
 
         if config.remat_policy:
-            _precompute = jax.checkpoint(_precompute)
+            _precompute = jax.checkpoint(_precompute, policy=_remat_policy_of(config))
         step_tensors = _precompute(
             policy_params, edge_tokens, edge_base, jax.random.fold_in(rng, 987)
         )
@@ -495,7 +513,9 @@ def _rollout_sample_then_score(
         return log_pf_t, state_out_seq, bc_lse, bc_cnt
 
     if config.remat_policy:
-        log_pf_t, state_out_seq, bc_lse, bc_cnt = jax.checkpoint(_score_pass)(
+        log_pf_t, state_out_seq, bc_lse, bc_cnt = jax.checkpoint(
+            _score_pass, policy=_remat_policy_of(config)
+        )(
             policy_params, encoder_params, edge_tokens, cache,
             action_hidden_seq, None, pre_key,
         )

@@ -53,7 +53,13 @@ class PolicyStepTensors:
     p_edge: jax.Array   # [T, E, H] f32 (edge_repr . gamma_e) @ W0_e
     sum_e: jax.Array    # [T, E] f32 per-row sum of the edge half
     sumsq_e: jax.Array  # [T, E] f32 per-row sum of squares of the edge half
-    drop2: jax.Array    # [T, E, H] edge-head dropout mask (values 0 or 1/keep)
+    # Edge-head dropout mask, stored as BOOL (1 byte/elt, not the compute
+    # dtype's 2-4): [T, E, H] step tensors are scan inputs AND backward
+    # residuals, so their bytes are paid in HBM traffic every step of both
+    # passes.  ``drop2_scale`` carries the {1/keep | 1.0} factor so
+    # ``apply_precomputed`` reconstructs flax Dropout's exact values.
+    drop2: jax.Array        # [T, E, H] bool keep-mask
+    drop2_scale: jax.Array  # [T] compute-dtype: 1/keep (train) or 1.0
 
 
 class GFlowNetEdgePolicy(nn.Module):
@@ -126,8 +132,18 @@ class GFlowNetEdgePolicy(nn.Module):
             preferred_element_type=jnp.float32,
         )
         cd = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        # The dropout layer's {0, 1/keep} values compress to bool + scalar:
+        # same rng stream, same mask, 1 byte per element in the carried
+        # tensor instead of 2-4 (the transient float mask fuses away).
         drop2 = self.edge_head_drop(
             jnp.ones((num_steps, e, h), cd), deterministic=not train
+        ) != 0
+        live = train and self.dropout > 0.0
+        # [T] (not scalar) so lax.scan / vmap can slice the step axis like
+        # every other field of the struct.
+        drop2_scale = jnp.broadcast_to(
+            jnp.ones((), cd) / (1.0 - self.dropout) if live else jnp.ones((), cd),
+            (num_steps,),
         )
         # bf16 mode stores the [T, E, H] tensors in the compute dtype: the
         # canonical path's Dense/Dropout already round these to bf16, and the
@@ -135,6 +151,7 @@ class GFlowNetEdgePolicy(nn.Module):
         return PolicyStepTensors(
             k=k, v=v, p_edge=p_edge.astype(cd),
             sum_e=b.sum(-1), sumsq_e=(b * b).sum(-1), drop2=drop2,
+            drop2_scale=drop2_scale,
         )
 
     def apply_precomputed(
@@ -189,7 +206,9 @@ class GFlowNetEdgePolicy(nn.Module):
             p_state[edge_batch] + step.p_edge.astype(jnp.float32)
             - mu[:, None] * u[None, :]
         ) * inv[:, None] + const[None, :]
-        hh = _gelu_exact(h_pre.astype(cd)) * step.drop2.astype(cd)
+        hh = _gelu_exact(h_pre.astype(cd)) * jnp.where(
+            step.drop2, step.drop2_scale, jnp.zeros((), cd)
+        )
         edge_logits = self.edge_head_1(hh)[..., 0].astype(jnp.float32)
         edge_logits = jnp.where(valid_edges_mask, edge_logits, NEG_INF)
 

@@ -544,31 +544,63 @@ def serve_split(
         compile_s = time.perf_counter() - tw
         t1 = time.perf_counter()  # steady-state clock starts after warmup
 
-    def drain_window(pend) -> None:
+    # Drain compression (VERDICT r4 #1b): the result payload is top-k ids +
+    # scores ONLY, staged as ONE int32 device array per window whose D2H copy
+    # is enqueued AT DISPATCH TIME (``copy_to_host_async``) so the transfer
+    # rides the tunnel while the host packs / the device computes the next
+    # window; the drain-side ``np.asarray`` then finds the bytes (mostly)
+    # already resident.  Under bf16 compute the score plane ships as bf16
+    # pairs packed into int32 lanes (600 B/question at k=100 vs 800 f32) --
+    # an explicit float32 request keeps the f32 plane bit-exact.
+    pack_scores_bf16 = dtype == jnp.bfloat16
+
+    def _stage_window_payload(pend):
+        chunks_meta = [
+            (meta_chunk, v.shape[0], v.shape[1]) for meta_chunk, v, _ in pend
+        ]
+        vals = jnp.concatenate([v.reshape(-1, v.shape[-1]) for _, v, _ in pend])
+        ids = jnp.concatenate(
+            [i_.reshape(-1, i_.shape[-1]) for _, _, i_ in pend]
+        ).astype(jnp.int32)
+        kv = vals.shape[1]
+        if pack_scores_bf16:
+            ke = kv + (kv & 1)
+            v16 = vals.astype(jnp.bfloat16)
+            if ke != kv:
+                v16 = jnp.pad(v16, ((0, 0), (0, ke - kv)))
+            plane = jax.lax.bitcast_convert_type(
+                v16.reshape(v16.shape[0], ke // 2, 2), jnp.int32
+            )
+        else:
+            plane = jax.lax.bitcast_convert_type(
+                vals.astype(jnp.float32), jnp.int32
+            )
+        payload = jnp.concatenate([ids, plane], axis=1)
+        try:
+            payload.copy_to_host_async()
+        except Exception:  # pragma: no cover - backends without async copy
+            pass
+        return chunks_meta, payload, kv
+
+    def drain_window(staged) -> None:
         nonlocal drain_s
         t2 = time.perf_counter()
-        # ONE fetch per window, not per bucket or per array: each
-        # np.asarray pays a full tunnel round trip, so buckets' [B, G, k]
-        # results concat on device (bytes are tiny -- k floats+ids per
-        # question), the int32 ids bitcast into the float plane, and the
-        # whole window crosses the link in a single blocking fetch.
-        both = np.asarray(
-            jnp.concatenate(
-                [jnp.concatenate([v.reshape(-1, v.shape[-1]) for _, v, _ in pend]),
-                 jax.lax.bitcast_convert_type(
-                     jnp.concatenate(
-                         [i_.reshape(-1, i_.shape[-1]) for _, _, i_ in pend]
-                     ).astype(jnp.int32),
-                     jnp.float32,
-                 )]
+        chunks_meta, payload, kv = staged
+        arr = np.asarray(payload)  # blocks until compute + copy land
+        all_i = np.ascontiguousarray(arr[:, :kv])
+        plane = np.ascontiguousarray(arr[:, kv:])
+        if pack_scores_bf16:
+            import ml_dtypes
+
+            all_v = (
+                plane.view(np.uint16)
+                .view(ml_dtypes.bfloat16)[:, :kv]
+                .astype(np.float32)
             )
-        )
-        half = both.shape[0] // 2
-        all_v = both[:half]
-        all_i = both[half:].view(np.int32)
+        else:
+            all_v = plane.view(np.float32)
         off = 0
-        for meta_chunk, vals, _ in pend:
-            b_pad, g_per = vals.shape[0], vals.shape[1]
+        for meta_chunk, b_pad, g_per in chunks_meta:
             for gi, (idxs, group) in enumerate(meta_chunk):
                 row = off + gi * g_per
                 drain((idxs, group, all_v[row : row + g_per],
@@ -604,11 +636,12 @@ def serve_split(
                 pend.append((metas[key][c0 : c0 + b_cap], vals, ids))
                 c0 += b_cap
             num_groups += len(metas[key])
+        staged = _stage_window_payload(pend)
         dispatch_s += time.perf_counter() - td
 
         if prev_pend is not None:
             drain_window(prev_pend)
-        prev_pend = pend
+        prev_pend = staged
     if prev_pend is not None:
         drain_window(prev_pend)
 

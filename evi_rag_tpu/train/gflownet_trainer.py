@@ -85,8 +85,9 @@ class GFlowNetConfig:
     # ActorConfig.precompute_policy).
     precompute_policy: bool = True
     # Recompute (don't store) the hoisted step tensors in the backward pass
-    # (see ActorConfig.remat_policy).
-    remat_policy: bool = False
+    # (see ActorConfig.remat_policy; ``"dots"`` = save matmul results,
+    # recompute only elementwise chains).
+    remat_policy: bool | str = False
     # Two-pass rollout: forward-only sampling scan + one batched
     # differentiable score pass over the step axis (see
     # ActorConfig.sample_then_score).

@@ -172,7 +172,11 @@ def test_sts_train_step_end_to_end(setup):  # noqa: F811
     np.testing.assert_allclose(losses[False], losses[True], rtol=1e-3, atol=1e-4)
 
 
-def test_sts_remat_parity(setup):  # noqa: F811
+import pytest
+
+
+@pytest.mark.parametrize("remat_mode", [True, "dots"])
+def test_sts_remat_parity(setup, remat_mode):  # noqa: F811
     """``remat_policy`` under STS wraps the whole batched score pass in one
     ``jax.checkpoint``: the forward pass must be IDENTICAL (the recomputed
     ``precompute_steps`` uses the same rng key, and checkpoint does not
@@ -196,7 +200,7 @@ def test_sts_remat_parity(setup):  # noqa: F811
         )(key)
 
     for train in (False, True):
-        a, b = run(False, train), run(True, train)
+        a, b = run(False, train), run(remat_mode, train)
         np.testing.assert_array_equal(
             np.asarray(a["actions_seq"]), np.asarray(b["actions_seq"])
         )
@@ -226,7 +230,7 @@ def test_sts_remat_parity(setup):  # noqa: F811
         trainable = {k: params[k] for k in ("policy", "state_encoder")}
         return jax.grad(lambda p: loss_fn({**params, **p}))(trainable)
 
-    ga, gb = grads(False), grads(True)
+    ga, gb = grads(False), grads(remat_mode)
     flat_a, _ = jax.tree.flatten(ga)
     flat_b, _ = jax.tree.flatten(gb)
     assert any(float(jnp.abs(x).max()) > 0 for x in flat_a), "degenerate test: zero grads"
