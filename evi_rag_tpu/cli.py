@@ -534,13 +534,45 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
         topk_records = []
         rank_samples = []
 
+        phase = {"collate_s": 0.0, "device_s": 0.0, "artifact_s": 0.0}
+
         def _artifact_pass():
+            # Software-pipelined: dispatch batch i+1 BEFORE blocking on batch
+            # i's results, so host artifact building overlaps device compute
+            # (the serve surface's window pattern).  device_s measures the
+            # residual block time -- with perfect overlap it approaches the
+            # slower of the two sides, not their sum.
+            import time as _time
+
+            import jax
+
+            pend = None  # (batch, res, chunk)
             i = 0
-            for batch in batches():
-                res = eval_step(params, batch)
-                _collect_split_artifacts(batch, res, samples[i : i + per_batch])
-                i += per_batch
-                yield res
+            it = batches()
+            while True:
+                t0 = _time.perf_counter()
+                batch = next(it, None)
+                phase["collate_s"] += _time.perf_counter() - t0
+                if batch is not None:
+                    t0 = _time.perf_counter()
+                    res = eval_step(params, batch)  # async dispatch
+                    phase["device_s"] += _time.perf_counter() - t0
+                    nxt = (batch, res, samples[i : i + per_batch])
+                    i += per_batch
+                else:
+                    nxt = None
+                if pend is not None:
+                    pbatch, pres, pchunk = pend
+                    t0 = _time.perf_counter()
+                    pres = jax.tree.map(lambda x: np.asarray(x), pres)
+                    phase["device_s"] += _time.perf_counter() - t0
+                    t0 = _time.perf_counter()
+                    _collect_split_artifacts(pbatch, pres, pchunk)
+                    phase["artifact_s"] += _time.perf_counter() - t0
+                    yield pres
+                if nxt is None:
+                    break
+                pend = nxt
 
         def _collect_split_artifacts(batch, res, chunk):
             scores = np.asarray(res["logits"])
@@ -609,6 +641,9 @@ def task_eval_retriever(cfg: dict, *, run_dir: pathlib.Path) -> dict[str, Any]:
 
         split_metrics = evaluate_results(_artifact_pass())
         all_metrics.update({f"{split}/{k}": v for k, v in split_metrics.items()})
+        all_metrics.update(
+            {f"{split}/phase/{k}": round(v, 3) for k, v in phase.items()}
+        )
         if want_ranking and rank_samples:
             from evi_rag_tpu.eval.ranking import (
                 compute_answer_hit,
