@@ -324,15 +324,18 @@ def fit(
     for epoch in range(cfg.max_epochs):
         t0 = time.time()
         n_steps = 0
-        last_loss = float("nan")
+        last_metrics = None
         from evi_rag_tpu.data.feeder import prefetch
 
         for batch in prefetch(iter(train_batches(epoch))):
             state, metrics = train_step(state, place(batch))
+            last_metrics = metrics  # device scalar; synced once per epoch
             n_steps += 1
             if n_steps % log_every == 0:
-                last_loss = float(metrics["loss"])
-                log.info("epoch %d step %d loss %.4f", epoch, n_steps, last_loss)
+                log.info(
+                    "epoch %d step %d loss %.4f", epoch, n_steps, float(metrics["loss"])
+                )
+        last_loss = float(last_metrics["loss"]) if last_metrics is not None else float("nan")
         val = evaluate(state.params, eval_step, val_batches())
         score = sign * val.get(cfg.monitor, -float("inf"))
         history.append({"epoch": epoch, "val": val, "train_loss": float(last_loss), "seconds": time.time() - t0})
